@@ -1,0 +1,16 @@
+"""minialign-tpu: a TPU-native long-read alignment engine.
+
+A from-scratch reimplementation of the capabilities of ocxtal/minialign
+(minimizer index + seed chaining + adaptive-banded Smith-Waterman-Gotoh
+extension) designed for TPUs: the banded-DP wavefront runs as batched
+JAX/Pallas kernels, seeding/chaining are sort/gather ops over a
+device-resident minimizer index, and the host side orchestrates batched
+extension scheduling and SAM emission.
+
+Reference behavior spec: /root/reference (minialign.c, gaba.c) — cited
+throughout as file:line. This package is a new TPU-first design, not a
+translation.
+"""
+
+__version__ = "0.1.0"
+VERSION_STRING = "minialign-tpu-0.1.0"

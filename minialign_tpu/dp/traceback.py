@@ -1,0 +1,204 @@
+"""Host-side traceback over device-produced band mask buffers.
+
+Reproduces the reference naive traceback priority (gaba.c:4721-4762):
+at each cell, test (1) the gfa linear query-gap step, (2) the F affine
+query-gap run (closed at the earliest opening), (3) the gfb linear
+ref-gap step, (4) the E affine ref-gap run, (5) diagonal. The walk
+navigates the band geometry using the per-step direction bits recorded
+by the fill (see dp/band.py for the lane algebra).
+
+The reference walks stored masks the same way (trace_core,
+gaba.c:3111-3239); out-of-band walks abort and return None, matching
+gaba_dp_trace's NULL result (gaba.c:3358-3361).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..params import ScoreParams
+from .band import BLK, M_E, M_EO, M_F, M_FO, M_GFA, M_GFB
+
+
+@dataclasses.dataclass
+class TraceResult:
+    score: int
+    alen: int              # ref bases consumed (i*)
+    blen: int              # query bases consumed (j*)
+    path: str              # 'D' (query) / 'R' (ref) ops, forward order
+    dcnt: int              # diagonal count
+    agcnt: int             # gap bases on a (ref consumed in gaps = R ops)
+    bgcnt: int             # gap bases on b
+    identity: float
+    gap_penalty: int       # total gap penalty (positive)
+
+    @property
+    def plen(self) -> int:
+        return len(self.path)
+
+
+def _identity(p: ScoreParams, score: int, dcnt: int, gap_penalty: int) -> float:
+    """identity = ((score + gaps)/dlen - x) / (m - x) (gaba.c:3336-3352)."""
+    if dcnt == 0:
+        return 0.0
+    m, x = p.max_match, p.min_match
+    dsc = score + gap_penalty
+    return (dsc / dcnt - x) / (m - x)
+
+
+def traceback_one(p: ScoreParams, W: int,
+                  masks: np.ndarray,    # (NB, BLK, 6, 2) uint32
+                  dirs: np.ndarray,     # (NB,) uint32
+                  iheads: np.ndarray,   # (NB,) int32
+                  score: int, ai: int, bj: int) -> TraceResult | None:
+    if score <= 0 or (ai == 0 and bj == 0):
+        return TraceResult(score=max(score, 0), alen=0, blen=0, path="",
+                           dcnt=0, agcnt=0, bgcnt=0, identity=0.0,
+                           gap_penalty=0)
+
+    nb = dirs.shape[0]
+    # per-step direction bits and ihead values
+    steps = nb * BLK
+    dbits = ((dirs[:, None] >> np.arange(BLK, dtype=np.uint32)[None, :])
+             & 1).astype(np.int8).reshape(-1)          # (steps,)
+    rights = 1 - dbits
+    ihead_after = np.empty(steps + 1, np.int64)
+    ihead_after[0] = iheads[0]                          # ihead at p=-1
+    np.cumsum(rights, out=ihead_after[1:])
+    ihead_after[1:] += iheads[0]
+    # ihead_after[s+1] == ihead after step s (band p = s)
+
+    def ihead_at(pp):                                   # band p >= -1
+        return int(ihead_after[pp + 1])
+
+    def dir_at(pp):                                     # move creating band p
+        return int(dbits[pp]) if pp >= 0 else 0         # p=-1 was a down
+
+    def mbit(pp, mi, qq):
+        w = masks[pp // BLK, pp % BLK, mi]
+        return (int(w[qq >> 5]) >> (qq & 31)) & 1
+
+    gi, ge = p.gi, p.ge
+    i, j = int(ai), int(bj)
+    pp = i + j - 2
+    q = ihead_at(pp) - i
+    if not (0 <= q < W):
+        return None
+
+    ops = []                     # built backward
+    dcnt = agcnt = bgcnt = 0
+    n_open = 0                   # affine gap regions
+    n_ext = 0                    # affine gap bases
+    n_gf = 0                     # linear (gf) gap bases
+    gf_pen = 0
+
+    def move_f():                # (i, j) -> (i, j-1)
+        nonlocal j, pp, q
+        q = q - (0 if dir_at(pp) == 1 else 1)
+        j -= 1
+        pp -= 1
+
+    def move_e():                # (i, j) -> (i-1, j)
+        nonlocal i, pp, q
+        q = q + (1 if dir_at(pp) == 1 else 0)
+        i -= 1
+        pp -= 1
+
+    def move_diag():
+        nonlocal i, j, pp, q
+        q = q + (1 if dir_at(pp) == 1 else 0) \
+              - (1 if dir_at(pp - 1) == 0 else 0)
+        i -= 1
+        j -= 1
+        pp -= 2
+
+    while i > 0 or j > 0:
+        if i == 0:
+            # leading gap on the query side: exact boundary penalty
+            ops.append("D" * j)
+            bgcnt += j
+            aff = gi + j * ge
+            if p.model == 2 and p.gfa * j < aff:
+                n_gf += j
+                gf_pen += p.gfa * j
+            else:
+                n_open += 1
+                n_ext += j
+            break
+        if j == 0:
+            ops.append("R" * i)
+            agcnt += i
+            aff = gi + i * ge
+            if p.model == 2 and p.gfb * i < aff:
+                n_gf += i
+                gf_pen += p.gfb * i
+            else:
+                n_open += 1
+                n_ext += i
+            break
+        if not (0 <= q < W):
+            return None
+        if j > 1 and mbit(pp, M_GFA, q):
+            ops.append("D")
+            bgcnt += 1
+            n_gf += 1
+            gf_pen += p.gfa_eff
+            move_f()
+        elif mbit(pp, M_F, q):
+            n_open += 1
+            while True:
+                fo = mbit(pp, M_FO, q)
+                ops.append("D")
+                bgcnt += 1
+                n_ext += 1
+                move_f()
+                if fo or j <= 0:
+                    break
+                if not (0 <= q < W):
+                    return None
+        elif i > 1 and mbit(pp, M_GFB, q):
+            ops.append("R")
+            agcnt += 1
+            n_gf += 1
+            gf_pen += p.gfb_eff
+            move_e()
+        elif mbit(pp, M_E, q):
+            n_open += 1
+            while True:
+                eo = mbit(pp, M_EO, q)
+                ops.append("R")
+                agcnt += 1
+                n_ext += 1
+                move_e()
+                if eo or i <= 0:
+                    break
+                if not (0 <= q < W):
+                    return None
+        else:
+            ops.append("RD")     # backward: R then D = forward "DR"
+            dcnt += 1
+            move_diag()
+        if not (-1 <= q <= W):
+            return None
+
+    path = "".join(ops)[::-1]
+    gap_penalty = n_open * gi + n_ext * ge + gf_pen
+    return TraceResult(score=score, alen=ai, blen=bj, path=path,
+                       dcnt=dcnt, agcnt=agcnt, bgcnt=bgcnt,
+                       identity=_identity(p, score, dcnt, gap_penalty),
+                       gap_penalty=gap_penalty)
+
+
+def traceback_batch(p: ScoreParams, W: int, bufs, res) -> list:
+    """Trace every problem in a batch. bufs/res are numpy-converted
+    TraceBuffers/FillResult."""
+    out = []
+    B = res.max_score.shape[0]
+    for k in range(B):
+        out.append(traceback_one(
+            p, W, np.asarray(bufs.masks[k]), np.asarray(bufs.dirs[k]),
+            np.asarray(bufs.iheads[k]), int(res.max_score[k]),
+            int(res.max_i[k]), int(res.max_j[k])))
+    return out
