@@ -1,0 +1,243 @@
+"""Seed collection and chaining.
+
+Seed coordinate system (minialign.c:3340-3402): a (ref pos x, query pos
+y) match is stored rotated as upos = 2x - y + OFS, vpos = 2y - x + OFS;
+strand is folded in by bit-complementing the query position
+(mm_expand, minialign.c:3420-3446). Chaining links seeds greedily
+inside a 30-degree parallelogram window of edge twlen == wlen
+(mm_chain_seeds, minialign.c:3547-3625): from the current front seed,
+among all seeds with vpos in (v0, v0+win_v], upos <= win_u, same rid,
+pick the one with the largest p-distance to the window tip; the window
+tip shrinks as seeds are linked (the _update_wv coupling). Chains merge
+when the front hits a seed already owned by an earlier chain. Chain
+score plen = (1 - 1/scnt) * (p_end - p_start).
+
+This is the serial greedy formulation; it runs on host (numpy/python).
+A segmented-scan device formulation is the planned optimization once
+SAM parity is locked (SURVEY.md section 7, hard part 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .index.build import MMIndex
+from .index.sketch import sketch
+
+OFS = 0x40000000
+I32 = np.int32
+INT32_MAX = np.int32(0x7FFFFFFF)
+
+
+def _u(x, y):
+    return I32(2 * x - y + OFS)
+
+
+def _v(x, y):
+    return I32(2 * y - x + OFS)
+
+
+def coords_to_xy(upos: int, vpos: int):
+    """Back out (ref pos, query pos) from rotated coords: x = _as, y = _bs
+    (minialign.c:3362-3363, C truncating division)."""
+    ub, vb = int(upos) - OFS, int(vpos) - OFS
+    x = int(np.trunc((2 * ub + vb) / 3))
+    y = int(np.trunc((2 * vb + ub) / 3))
+    return x, y
+
+
+@dataclasses.dataclass
+class SeedState:
+    """Per-read seeding state carried across occurrence rounds
+    (mm_tbuf_t seed/resc fields)."""
+    upos: np.ndarray     # (n,) int32
+    vpos: np.ndarray     # (n,) int32
+    rid: np.ndarray      # (n,) int32  (sequence id, strand folded out)
+    # rescue array: (qs, n, start) sorted by n after round 0
+    resc: np.ndarray     # (m, 3) int64
+    presc: int           # rescue pointer
+
+
+def collect_seeds(mi: MMIndex, qcodes: np.ndarray) -> SeedState:
+    """Round-0 seed collection (mm_collect_seed, minialign.c:3454-3493)."""
+    h, qpos, fr = sketch(np.asarray(qcodes, np.int64) & 3, mi.k, mi.w)
+    start, cnt = mi.lookup(h)
+
+    max_occ = mi.max_occ
+    resc_occ = int(mi.occ[0])
+    k = mi.k
+
+    up, vp, rd = [], [], []
+    resc = []
+    for t in range(len(h)):
+        n = int(cnt[t])
+        if n == 0 or n > max_occ:
+            continue
+        frt = int(fr[t])
+        qs = I32((int(qpos[t]) + (k if frt else 0)) ^ (-frt))
+        if n > resc_occ:
+            resc.append((int(qs), n, int(start[t])))
+            continue
+        _expand(mi, int(start[t]), n, int(qs), up, vp, rd)
+
+    return SeedState(
+        upos=np.asarray(up, I32), vpos=np.asarray(vp, I32),
+        rid=np.asarray(rd, I32),
+        resc=np.asarray(resc, np.int64).reshape(-1, 3),
+        presc=0)
+
+
+def _expand(mi: MMIndex, start: int, n: int, qs: int, up, vp, rd):
+    """mm_expand (minialign.c:3420-3446), ava filtering omitted."""
+    k = mi.k
+    pos = mi.vals_pos[start:start + n]
+    rid = mi.vals_rid[start:start + n]
+    for rs, rf in zip(pos.tolist(), rid.tolist()):
+        if rf & 1:
+            _rs = int(rs) + k
+            _qs = ~qs & 0xFFFFFFFF
+            _qs = _qs - (1 << 32) if _qs >= (1 << 31) else _qs
+        else:
+            _rs, _qs = int(rs), qs
+        up.append(int(_u(_rs, _qs)))
+        vp.append(int(_v(_rs, _qs)))
+        rd.append(rf >> 1)
+
+
+def seed_round(mi: MMIndex, st: SeedState, rnd: int) -> np.ndarray | None:
+    """mm_seed (minialign.c:3500-3541): round-`rnd` seed set, sorted by
+    (rid, upos). Returns the sort order applied arrays stacked as a
+    (n, 3) int32 [upos, rid, vpos] or None if no seeds this round."""
+    if rnd > 0:
+        if rnd == 1 and len(st.resc):
+            order = np.lexsort((st.resc[:, 0], st.resc[:, 1]))
+            st.resc = st.resc[order]
+        up, vp, rd = list(st.upos), list(st.vpos), list(st.rid)
+        occ_r = int(mi.occ[rnd])
+        p = st.presc
+        while p < len(st.resc) and st.resc[p, 1] <= occ_r:
+            _expand(mi, int(st.resc[p, 2]), int(st.resc[p, 1]),
+                    int(st.resc[p, 0]), up, vp, rd)
+            p += 1
+        if p == st.presc and rnd > 1:
+            pass
+        st.presc = p
+        st.upos = np.asarray(up, I32)
+        st.vpos = np.asarray(vp, I32)
+        st.rid = np.asarray(rd, I32)
+
+    n = len(st.upos)
+    if n == 0:
+        return None
+    order = np.lexsort((np.arange(n), st.upos, st.rid))
+    return np.stack([st.upos[order], st.rid[order], st.vpos[order]],
+                    axis=1).astype(np.int64)
+
+
+@dataclasses.dataclass
+class Chain:
+    plen: int            # real (un-offsetted) path-length score
+    root_sid: int        # root seed index (extension anchor)
+    leaf_sid: int        # first (leftmost) seed of the chain
+
+
+def chain_seeds(seeds: np.ndarray, twlen: int) -> list[Chain]:
+    """mm_chain_seeds (minialign.c:3547-3625). seeds: (n, 3) int64 of
+    [upos, rid, vpos] sorted by (rid, upos). Returns chains sorted by
+    plen descending (radix_sort_64x of offsetted plen ascending,
+    minialign.c:3718)."""
+    n = len(seeds)
+    up, rid, vp = seeds[:, 0], seeds[:, 1], seeds[:, 2]
+    lid_of = np.full(n, -1, np.int64)       # seed -> owning leaf
+    leaves = []                             # (rsid, lsid, rid, cid)
+    chains = []                             # (plen_real, lid)
+
+    nlsid = 0
+    while nlsid < n:
+        lid = len(leaves)
+        leaves.append([nlsid, nlsid, int(rid[nlsid]), -1])
+        plen0 = int(up[nlsid] + vp[nlsid])
+        scnt = 1
+        nrsid = nlsid
+        nlsid_next = None
+
+        while True:
+            rsid = nrsid
+            # window from s[rsid]: (vlb=v0, vub, rid, uub)
+            v0 = int(vp[rsid])
+            vub = v0 + twlen
+            uub = int(up[rsid]) + twlen
+            r0 = int(rid[rsid])
+            best = None                      # largest inside sid
+            sid = rsid + 1
+            while sid < n:
+                if rid[sid] > r0 or up[sid] > uub:
+                    if nlsid_next is None:
+                        nlsid_next = sid
+                    else:
+                        nlsid_next = min(nlsid_next, sid)
+                    break
+                fv_v, fv_u = int(vp[sid]), int(up[sid])
+                if not (fv_v > v0 and fv_v <= vub):
+                    if nlsid_next is None:
+                        nlsid_next = sid
+                    else:
+                        nlsid_next = min(nlsid_next, sid)
+                    sid += 1
+                    continue
+                # inside: link candidate; shrink window (_update_wv).
+                # the reference's pdiff key (minialign.c:3580) is
+                # identically zero after _update_wv, so the winning
+                # candidate is simply the largest sid inside the
+                # progressively-shrunk window.
+                new_uub = uub - (vub - fv_v)
+                new_vub = vub - (uub - fv_u)
+                uub, vub = new_uub, new_vub
+                best = sid
+                sid += 1
+
+            if sid >= n and nlsid_next is None:
+                nlsid_next = n
+            if best is None:
+                nrsid = rsid
+                break
+            nsid = best
+            if lid_of[nsid] != -1:
+                nrsid = nsid
+                break
+            lid_of[nsid] = lid
+            scnt += 1
+            nrsid = nsid
+            if nlsid_next is not None and nlsid_next <= nrsid:
+                nlsid_next = None
+
+        nlsid = nlsid_next if nlsid_next is not None else n
+
+        if nrsid == leaves[lid][1]:          # nothing linked
+            continue
+
+        cid = -1
+        if lid_of[nrsid] != -1 and lid_of[nrsid] < lid:
+            # merged into an existing chain: adopt its root + cid
+            other = int(lid_of[nrsid])
+            nrsid = leaves[other][0]
+            owner = lid_of[nrsid]
+            if owner != -1:
+                cid = leaves[int(owner)][3]
+        if cid == -1:
+            cid = len(chains)
+            chains.append([0, lid])
+
+        leaves[lid][3] = cid
+        leaves[lid][0] = nrsid
+
+        plen = int((1.0 - 1.0 / scnt) * (int(up[nrsid] + vp[nrsid]) - plen0))
+        if plen > chains[cid][0]:
+            chains[cid] = [plen, lid]
+
+    out = [Chain(plen=c[0], root_sid=leaves[c[1]][0],
+                 leaf_sid=leaves[c[1]][1]) for c in chains]
+    out.sort(key=lambda c: -c.plen)
+    return out

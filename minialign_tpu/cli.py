@@ -1,0 +1,364 @@
+"""Command-line interface, option-compatible with the reference
+(minialign.c:5703-6211): single-char options through a dispatch table,
+recursive preset trees (-x pacbio / ont... / ava), config-file
+fallback, and the index/align main split.
+
+Usage mirrors the reference:
+    minialign-tpu [options] ref.fa reads.fq > out.sam     (map)
+    minialign-tpu [options] -d index.mai ref.fa           (build index)
+    minialign-tpu [options] index.mai reads.fq > out.sam  (map w/ index)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+from . import VERSION_STRING, __version__
+from .extend import FillEngine
+from .index.build import MMIndex, build_index
+from .io import bseq
+from .io.sam import PafWriter, SamWriter
+from .params import (FMT_PAF, FMT_SAM, MM_AVA, MM_COMP, MM_OMIT_REP,
+                     IndexParams, MapParams, ScoreParams, TAG_AS, TAG_CG,
+                     TAG_CO, TAG_ID, TAG_IH, TAG_MD, TAG_NH, TAG_NM, TAG_RG,
+                     TAG_SA, TAG_SQ, TAG_XS)
+from .pipeline import align_batch
+
+# preset tree (minialign.c:5848-5891)
+_PRESETS = {
+    "pacbio": ("-k15 -w10 -a2 -b4 -p4 -q2 -r3,3 -Y50 -s50 -m0.3", {
+        "clr": ("", {}),
+        "ccs": ("-b5 -p6 -p2", {}),
+    }),
+    "ont": ("-k15 -w10 -a3 -b5 -p6 -q2 -r3,3 -Y50 -s50 -m0.3", {
+        "r7": ("-b4", {"1d": ("", {}), "2d": ("", {})}),
+        "r9": ("", {
+            "4": ("-a2", {
+                "1": ("", {"1d": ("", {}), "1dsq": ("-b6 -r4,4", {}),
+                           "2d": ("-b6 -r4,4", {})}),
+                "1d": ("", {}), "1dsq": ("-b6 -r4,4", {}),
+                "2d": ("-b6 -r4,4", {}),
+            }),
+            "5": ("-a2", {
+                "1": ("", {"1d": ("", {}), "1dsq": ("-b6 -r4,4", {}),
+                           "2d": ("-b6 -r4,4", {})}),
+                "1d": ("", {}), "1dsq": ("-b6 -r4,4", {}),
+                "2d": ("-b6 -r4,4", {}),
+            }),
+            "1d": ("", {}), "1dsq": ("-b6 -r4,4", {}),
+            "2d": ("-b6 -r4,4", {}),
+        }),
+        "1d": ("-a2", {}), "1dsq": ("-a2 -b6 -r4,4", {}),
+        "2d": ("-a2 -b6 -r4,4", {}),
+    }),
+    "ava": ("-k15 -w5 -a2 -b3 -p0 -q2 -Y50 -s30 -m0.05", {}),
+}
+
+_TAG_IDS = {"RG": TAG_RG, "CO": TAG_CO, "NH": TAG_NH, "IH": TAG_IH,
+            "AS": TAG_AS, "XS": TAG_XS, "NM": TAG_NM, "SA": TAG_SA,
+            "MD": TAG_MD, "CG": TAG_CG, "ID": TAG_ID, "SQ": TAG_SQ}
+
+_FORMATS = {"sam": FMT_SAM, "paf": FMT_PAF}
+
+
+@dataclasses.dataclass
+class Opts:
+    nth: int = 1
+    batch_size: int = 512 * 1024
+    min_len: int = 1
+    keep_qual: bool = False
+    verbose: int = 1
+    fnw: str | None = None
+    fmt: int = FMT_SAM
+    tags: list = dataclasses.field(default_factory=list)
+    rg_line: str | None = None
+    rg_id: str = ""
+    flag: int = 0
+    # indexing
+    k: int = 15
+    w: int = 32            # >=32 means "derive from k"
+    b: int = 14
+    frq: tuple = (0.05, 0.01, 0.001)
+    circ: list = dataclasses.field(default_factory=list)
+    circ_all: bool = False
+    # mapping
+    wlen: int = 7000
+    glen: int = 7000
+    min_score: int = 50
+    min_ratio: float = 0.3
+    matrix: list = dataclasses.field(
+        default_factory=lambda: [1, -1, -1, -1, -1, 1, -1, -1,
+                                 -1, -1, 1, -1, -1, -1, -1, 1])
+    gi: int = 1
+    ge: int = 1
+    gfa: int = 0
+    gfb: int = 0
+    xdrop: int = 50
+    args: list = dataclasses.field(default_factory=list)
+    arg_line: str = ""
+    help: int = 0
+    ecnt: int = 0
+
+    def err(self, msg):
+        print(f"[E::opt] {msg}", file=sys.stderr)
+        self.ecnt += 1
+
+
+def _apply_preset(o: Opts, arg: str):
+    tree = _PRESETS
+    node = None
+    for part in arg.replace(":", ".").split("."):
+        if part in tree:
+            node = tree[part]
+            parse_line(o, node[0])
+            tree = node[1]
+        else:
+            try:
+                with open(part) as f:
+                    parse_line(o, f.read().replace("\n", " ")
+                               .replace("\t", " "))
+            except OSError:
+                o.err(f"no preset params found for `{part}'.")
+            return
+
+
+def _set_match(o: Opts, v: str):
+    m = int(v)
+    for i in range(16):
+        if (i & 3) == (i >> 2):
+            o.matrix[i] = m
+
+
+def _set_mismatch(o: Opts, v: str):
+    x = int(v)
+    for i in range(16):
+        if (i & 3) != (i >> 2):
+            o.matrix[i] = -x
+
+
+def _set_mod(o: Opts, v: str):
+    idxaf = {"A": 1, "C": 2, "G": 3, "T": 4, "U": 4, "N": 5}
+    for part in _split(v):
+        o.matrix[(idxaf[part[1]] - 1) * 4 + (idxaf[part[0]] - 1)] += \
+            int(part[2:])
+
+
+def _set_gf(o: Opts, v: str):
+    parts = _split(v)
+    o.gfa = int(parts[0])
+    o.gfb = int(parts[1] if len(parts) > 1 else parts[0])
+
+
+def _set_frq(o: Opts, v: str):
+    o.frq = tuple(float(x) for x in _split(v))
+
+
+def _set_tags(o: Opts, v: str):
+    for t in _split(v):
+        if t in _TAG_IDS:
+            o.tags.append(_TAG_IDS[t])
+        else:
+            o.err(f"unknown tag: `{t}'.")
+
+
+def _set_rg(o: Opts, v: str):
+    line = v.replace("\\t", "\t")
+    for field in line.split("\t"):
+        if field.startswith("ID:"):
+            o.rg_line = line
+            o.rg_id = field[3:]
+            o.tags.append(TAG_RG)
+            return
+    o.err("RG line must start with @RG and contain ID.")
+
+
+def _set_circ(o: Opts, v: str | None):
+    if v is None:
+        o.circ_all = True
+        return
+    for p in _split(v):
+        if p in ("*", "-"):
+            o.circ_all = True
+        else:
+            o.circ.append(p)
+
+
+def _set_format(o: Opts, v: str):
+    if v not in _FORMATS:
+        o.err(f"unknown output format `{v}'.")
+    else:
+        o.fmt = _FORMATS[v]
+
+
+def _split(v: str):
+    out = [v]
+    for sep in ",;:/":
+        out = [p for x in out for p in x.split(sep)]
+    return [x for x in out if x]
+
+
+# option character -> (needs_arg: 0 bool / 1 required / 2 optional, setter)
+_OPTS = {
+    "x": (1, _apply_preset),
+    "R": (1, _set_rg),
+    "T": (1, _set_tags),
+    "O": (1, _set_format),
+    "d": (1, lambda o, v: setattr(o, "fnw", v)),
+    "X": (0, lambda o, v: setattr(o, "flag", o.flag | MM_AVA)),
+    "A": (0, lambda o, v: setattr(o, "flag", o.flag | MM_COMP)),
+    "P": (0, lambda o, v: setattr(o, "flag", o.flag | MM_OMIT_REP)),
+    "Q": (0, lambda o, v: setattr(o, "keep_qual", True)),
+    "v": (2, lambda o, v: setattr(o, "verbose", int(v) if v else 1)),
+    "h": (0, lambda o, v: setattr(o, "help", o.help + 1)),
+    "t": (1, lambda o, v: setattr(o, "nth", int(v))),
+    "k": (1, lambda o, v: setattr(o, "k", int(v))),
+    "w": (1, lambda o, v: setattr(o, "w", int(v))),
+    "c": (2, _set_circ),
+    "f": (1, _set_frq),
+    "B": (1, lambda o, v: setattr(o, "b", int(v))),
+    "C": (2, lambda o, v: None),
+    "L": (1, lambda o, v: setattr(o, "min_len", int(v))),
+    "W": (1, lambda o, v: setattr(o, "wlen", int(v))),
+    "G": (1, lambda o, v: setattr(o, "glen", int(v))),
+    "a": (1, _set_match),
+    "b": (1, _set_mismatch),
+    "e": (1, _set_mod),
+    "p": (1, lambda o, v: setattr(o, "gi", int(v))),
+    "q": (1, lambda o, v: setattr(o, "ge", int(v))),
+    "r": (1, _set_gf),
+    "Y": (1, lambda o, v: setattr(o, "xdrop", int(v))),
+    "s": (1, lambda o, v: setattr(o, "min_score", int(v))),
+    "m": (1, lambda o, v: setattr(o, "min_ratio", float(v))),
+    "1": (1, lambda o, v: setattr(o, "batch_size", int(v))),
+    "2": (1, lambda o, v: None),
+}
+
+
+def parse_argv(o: Opts, argv: list):
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if not arg.startswith("-") or arg == "-":
+            o.args.append(arg)
+            i += 1
+            continue
+        j = 1
+        while j < len(arg):
+            ch = arg[j]
+            if ch not in _OPTS:
+                o.err(f"unknown option `{ch}'.")
+                j += 1
+                continue
+            kind, fn = _OPTS[ch]
+            if kind == 0:
+                fn(o, None)
+                j += 1
+                continue
+            val = arg[j + 1:]
+            if val:
+                fn(o, val)
+                j = len(arg)
+            elif kind == 1:
+                i += 1
+                if i >= len(argv):
+                    o.err(f"option `{ch}' requires an argument.")
+                else:
+                    fn(o, argv[i])
+                j = len(arg)
+            else:
+                fn(o, None)
+                j = len(arg)
+        i += 1
+    return o
+
+
+def parse_line(o: Opts, line: str):
+    parse_argv(o, line.split())
+
+
+def finalize(o: Opts):
+    """mm_opt_check_sanity tail (minialign.c:6131-6137)."""
+    if o.w >= 32:
+        o.w = int(2.0 / 3.0 * o.k + 0.499)
+    return o
+
+
+def make_params(o: Opts):
+    sp = ScoreParams(matrix=tuple(o.matrix), gi=o.gi, ge=o.ge,
+                     gfa=o.gfa, gfb=o.gfb, xdrop=o.xdrop)
+    ip = IndexParams(k=o.k, w=o.w, b=o.b, frq=o.frq,
+                     circular=tuple(o.circ), circular_all=o.circ_all)
+    mp = MapParams(score=sp, wlen=o.wlen, glen=o.glen,
+                   min_score=o.min_score, min_ratio=o.min_ratio,
+                   flag=o.flag)
+    return ip, mp
+
+
+def _load_or_build_index(o: Opts, path: str, ip: IndexParams) -> MMIndex:
+    if path.endswith(".mai") or path.endswith(".mai.npz"):
+        return MMIndex.load(path if path.endswith(".npz")
+                            else path + ".npz")
+    seqs = list(bseq.read_seqs(path, min_len=o.min_len))
+    return build_index(ip, [s.name for s in seqs], [s.codes for s in seqs])
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    o = Opts(arg_line="minialign-tpu " + " ".join(argv))
+    parse_argv(o, argv)
+    finalize(o)
+    if o.ecnt:
+        return 1
+    if o.help or not o.args:
+        print(f"{VERSION_STRING}\nusage: minialign-tpu [options] "
+              f"ref.fa [reads.fq] > out.sam", file=sys.stderr)
+        return 0 if o.help else 1
+
+    t0 = time.time()
+    ip, mp = make_params(o)
+
+    if o.fnw is not None:
+        # index-build mode (main_index, minialign.c:6308)
+        for path in o.args:
+            mi = _load_or_build_index(o, path, ip)
+            out = o.fnw if o.fnw.endswith(".npz") else o.fnw + ".npz"
+            mi.save(out)
+            print(f"[M::main] index saved: {out} "
+                  f"({len(mi.keys)} keys, {len(mi.vals_pos)} positions)",
+                  file=sys.stderr)
+        return 0
+
+    # align mode
+    mi = _load_or_build_index(o, o.args[0], ip)
+    writer_cls = {FMT_SAM: SamWriter, FMT_PAF: PafWriter}[o.fmt]
+    if o.fmt == FMT_SAM:
+        wr = SamWriter(sys.stdout, tags=tuple(o.tags), rg_line=o.rg_line,
+                       rg_id=o.rg_id, arg_line=o.arg_line,
+                       version=__version__,
+                       omit_rep=bool(o.flag & MM_OMIT_REP))
+    else:
+        wr = PafWriter(sys.stdout, tags=tuple(o.tags))
+    wr.header(mi.names, mi.lens)
+
+    engine = FillEngine(mp.score)
+    n_reads = 0
+    for path in o.args[1:]:
+        for batch in bseq.read_batches(path, batch_size=o.batch_size,
+                                       keep_qual=o.keep_qual,
+                                       min_len=o.min_len):
+            regs = align_batch(mp, mi, [s.codes for s in batch], engine,
+                               base_qid=n_reads)
+            for s, reg in zip(batch, regs):
+                wr.mapped(mi.names, mi.lens, mi.codes, s, reg)
+            n_reads += len(batch)
+    print(f"[M::main] mapped {n_reads} reads in "
+          f"{time.time() - t0:.1f} s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,6 +28,12 @@ class TraceResult:
     alen: int              # ref bases consumed (i*)
     blen: int              # query bases consumed (j*)
     path: str              # 'D' (query) / 'R' (ref) ops, forward order
+    path_rev: str          # op order reversed with diagonals kept as
+                           # atomic "DR" pairs — the forward-space path
+                           # when this problem aligned reversed
+                           # sequences (the reference gets the same by
+                           # reverse-parsing the stored bit path,
+                           # minialign.c:5161 gaba_dump_cigar_reverse)
     dcnt: int              # diagonal count
     agcnt: int             # gap bases on a (ref consumed in gaps = R ops)
     bgcnt: int             # gap bases on b
@@ -55,6 +61,7 @@ def traceback_one(p: ScoreParams, W: int,
                   score: int, ai: int, bj: int) -> TraceResult | None:
     if score <= 0 or (ai == 0 and bj == 0):
         return TraceResult(score=max(score, 0), alen=0, blen=0, path="",
+                           path_rev="",
                            dcnt=0, agcnt=0, bgcnt=0, identity=0.0,
                            gap_penalty=0)
 
@@ -184,8 +191,10 @@ def traceback_one(p: ScoreParams, W: int,
             return None
 
     path = "".join(ops)[::-1]
+    path_rev = "".join("DR" if op == "RD" else op for op in ops)
     gap_penalty = n_open * gi + n_ext * ge + gf_pen
     return TraceResult(score=score, alen=ai, blen=bj, path=path,
+                       path_rev=path_rev,
                        dcnt=dcnt, agcnt=agcnt, bgcnt=bgcnt,
                        identity=_identity(p, score, dcnt, gap_penalty),
                        gap_penalty=gap_penalty)

@@ -1,0 +1,391 @@
+"""Batched extension driver.
+
+The reference extends one chain at a time per thread (mm_extend,
+minialign.c:4118-4173): downward fill from a seed, max search, dedup
+test, upward fill from the max, traceback, record, then rescue-seed
+retries. The control flow is inherently sequential per read, so the
+TPU design batches ACROSS reads: each read runs as a generator that
+yields extension requests; the scheduler gathers requests from all
+active reads, executes them as one padded device batch per shape
+bucket, and feeds results back. Device utilization scales with the
+number of in-flight reads, not with per-read parallelism.
+
+Semantic notes (all mirrored from the reference):
+  * trial budgets crem=50000 per run / srem=8 per chain
+    (MM_CREM/MM_SREM, minialign.c:3777-3778).
+  * band narrowing on duplicate collisions: W 64 -> 32 -> 16
+    (minialign.c:4122-4126, st.narrow).
+  * the dedup hash stores extension end/head/tail positions keyed by
+    _key(pos, ids) (minialign.c:3362, 3953-3994). The reference's
+    test_dup reads the just-overwritten hash slot when deciding
+    chain-termination (minialign.c:3985 consults t after *t = ...), so
+    the "contained in previous result" early-exit never fires; the
+    observable behavior (narrow bump only) is replicated.
+  * record() accumulates the res score as aln score plus a query-
+    coverage bonus 2*ovl*identity with uint32 wraparound on the first
+    record (minialign.c:4046-4049).
+  * the upward-extension min-score test uses the global min_score
+    (minialign.c:4149); the ratcheted st.min_score is written but
+    never read in the reference — not carried here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .chain import _u, _v, chain_seeds, collect_seeds, coords_to_xy, seed_round
+from .dp import band
+from .dp.traceback import traceback_one
+from .index.build import MMIndex
+from .params import MapParams, ScoreParams
+
+MM_CREM = 50000
+MM_SREM = 8
+WIDTHS = (64, 32, 16)      # indexed by st.narrow
+
+
+def _key(x: int, y: int) -> int:
+    """_key position-hash fold (minialign.c:3362)."""
+    x &= (1 << 64) - 1
+    y &= (1 << 64) - 1
+    swap = ((y & 0xFFFFFFFF) << 32) | (y >> 32)
+    return (x ^ (x >> 29) ^ y ^ swap) & ((1 << 64) - 1)
+
+
+def _poskey(apos: int, bpos: int, rid: int, qid: int) -> int:
+    return _key((apos & 0xFFFFFFFF) | ((bpos & 0xFFFFFFFF) << 32),
+                (rid & 0xFFFFFFFF) | ((qid & 0xFFFFFFFF) << 32))
+
+
+@dataclasses.dataclass
+class Aln:
+    rid: int
+    rev: int
+    as0: int               # ref start (forward coords)
+    ae: int                # ref end
+    bs0: int               # query start (strand space)
+    be: int                # query end (strand space)
+    score: int
+    path: str              # forward-space ops: D=query base, R=ref base
+    identity: float
+    dcnt: int
+    agcnt: int
+    bgcnt: int
+
+    @property
+    def plen(self) -> int:
+        return len(self.path)
+
+
+@dataclasses.dataclass
+class Bin:
+    n_aln: int = 0
+    plen: int = 0
+    lb: int = 0xFFFFFFFF
+    ub: int = 0
+    slot_idx: list = dataclasses.field(default_factory=list)
+    mapq: int = 0
+
+
+def revcomp_codes(c: np.ndarray) -> np.ndarray:
+    c = np.asarray(c)
+    out = (3 - c[::-1]).astype(np.int8)
+    out[np.asarray(c[::-1]) > 3] = band.NCODE
+    return out
+
+
+# ---------------------------------------------------------------------------
+# device batch engine
+# ---------------------------------------------------------------------------
+
+class FillEngine:
+    """Shape-bucketed jitted fill executor."""
+
+    def __init__(self, score: ScoreParams, batch: int = 32):
+        self.p = score
+        self.batch = batch
+        self._fns = {}
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 512
+        while b < n:
+            b *= 2
+        return b
+
+    def _fn(self, W, la, lb, trace):
+        nb = (la + lb + 2 * band.TAIL_N) // band.BLK + 2
+        key = (W, la, lb, trace)
+        if key not in self._fns:
+            self._fns[key] = band.make_fill(self.p, W, max_blocks=nb,
+                                            trace=trace)
+        return self._fns[key]
+
+    def run(self, reqs: list) -> list:
+        """reqs: list of (kind, a_codes, b_codes, W) with kind 'down' or
+        'up'. Returns per-request (score, mi, mj, trace_or_None)."""
+        out = [None] * len(reqs)
+        groups = {}
+        for i, (kind, a, b, W) in enumerate(reqs):
+            la = self._bucket(len(a) + band.TAIL_N + 128)
+            lb = self._bucket(len(b) + band.TAIL_N + 128)
+            groups.setdefault((kind == "up", W, la, lb), []).append(i)
+        for (trace, W, la, lb), idxs in groups.items():
+            fn = self._fn(W, la, lb, trace)
+            for base in range(0, len(idxs), self.batch):
+                sub = idxs[base:base + self.batch]
+                B = self.batch
+                ab = np.full((B, la), band.NCODE, np.int8)
+                bb = np.full((B, lb), band.NCODE, np.int8)
+                alen = np.zeros(B, np.int32)
+                blen = np.zeros(B, np.int32)
+                for s, i in enumerate(sub):
+                    _, a, b, _ = reqs[i]
+                    ab[s, :len(a)] = a
+                    bb[s, :len(b)] = b
+                    alen[s] = len(a)
+                    blen[s] = len(b)
+                if trace:
+                    res, bufs = fn(ab, alen, bb, blen)
+                    res = type(res)(*(np.asarray(x) for x in res))
+                    masks = np.asarray(bufs.masks)
+                    dirs = np.asarray(bufs.dirs)
+                    iheads = np.asarray(bufs.iheads)
+                    for s, i in enumerate(sub):
+                        tr = traceback_one(
+                            self.p, W, masks[s], dirs[s], iheads[s],
+                            int(res.max_score[s]), int(res.max_i[s]),
+                            int(res.max_j[s]))
+                        out[i] = (int(res.max_score[s]), int(res.max_i[s]),
+                                  int(res.max_j[s]), tr)
+                else:
+                    res = fn(ab, alen, bb, blen)
+                    ms = np.asarray(res.max_score)
+                    mi = np.asarray(res.max_i)
+                    mj = np.asarray(res.max_j)
+                    for s, i in enumerate(sub):
+                        out[i] = (int(ms[s]), int(mi[s]), int(mj[s]), None)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# per-read extension task
+# ---------------------------------------------------------------------------
+
+def _slice_a(codes: np.ndarray, start: int, brem: int, W: int) -> np.ndarray:
+    cap = 2 * brem + 4 * W + 2 * band.TAIL_N + 64
+    return codes[start:start + cap]
+
+
+@dataclasses.dataclass
+class _SearchState:
+    """mm_search_t equivalent (minialign.c:3216-3227)."""
+    cp: tuple
+    tp: tuple
+    rev: int
+    prem: int
+    pacc: int = 0
+    srem: int = MM_SREM
+    narrow: int = 0
+    sid: int = 0
+    next_arr: list = dataclasses.field(default_factory=list)
+
+
+def _load_next(st: _SearchState, seeds, tglen: int, rid: int, qlen: int):
+    """mm_search_load_next (minialign.c:3888-3948): pick a rescue seed
+    within the tglen window behind the current head."""
+    if st.srem == 0:
+        return False
+    st.srem -= 1
+
+    bx = st.cp[1] - (qlen if st.rev else 0)
+    fu = int(_u(st.cp[0], bx))
+    fv = int(_v(st.cp[0], bx))
+
+    ofs2 = 2 * tglen
+    plim = ofs2 - st.pacc
+    if st.pacc > ofs2:
+        st.next_arr = []
+    kept = []
+    for pd, sid in st.next_arr:
+        if pd >= plim:
+            break
+        kept.append((pd + st.pacc, sid))
+    st.next_arr = kept
+
+    rcnt = 2 * st.srem
+    sid = st.sid
+    while sid > 0 and rcnt > 0:
+        su = int(seeds[sid - 1, 0])
+        sr = int(seeds[sid - 1, 1])
+        sv = int(seeds[sid - 1, 2])
+        if sr < rid or su + tglen < fu:
+            break
+        inside = (fv > sv) and (fv <= sv + tglen) and (sr == rid)
+        near = (fv > sv) and (fv <= sv + 128) and (fu <= su + 128) \
+            and (sr == rid)
+        if inside and not near:
+            pdiff = (su + tglen - fu) + (sv + tglen - fv)
+            st.next_arr.append((pdiff, sid - 1))
+            rcnt -= 1
+        sid -= 1
+    st.sid = sid
+    if not st.next_arr:
+        st.pacc = 0
+        st.srem = 0
+        return False
+    st.next_arr.sort()
+    pdiff, nsid = st.next_arr.pop()
+    st.pacc = ofs2 - pdiff
+
+    x, y = coords_to_xy(seeds[nsid, 0], seeds[nsid, 2])
+    st.rev = 1 if y < 0 else 0
+    st.cp = (x, y + (qlen if y < 0 else 0))
+    return st.srem > 0
+
+
+def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int):
+    """Generator: yields ('down'|'up', a, b, W) requests, receives
+    (score, mi, mj, trace) via .send(). Returns (res, slots) where res
+    is a list of [accumulated_score, Bin] and slots the global aln-slot
+    list (mm_align_seq up to the extend stage, minialign.c:4427-4450)."""
+    score_p = mp.score
+    qlen = len(qcodes)
+    if qlen < mi.k or qlen * score_p.mcoef < mp.min_score:
+        return None
+
+    qf = np.ascontiguousarray(np.asarray(qcodes, np.int8))
+    qr = revcomp_codes(qf)
+    qrc = {0: qf, 1: qr}
+    twlen = mp.wlen              # _ud(wlen, wlen) == wlen
+    tglen = mp.glen
+
+    st_seed = None
+    res = []                     # [accumulated_score, Bin]
+    slots = []                   # global aln slots (self->bin array)
+    pos_hash = {}                # _key -> [eid, nid]
+    crem = MM_CREM
+
+    for rnd in range(len(mi.occ)):
+        if rnd == 0:
+            st_seed = collect_seeds(mi, qf)
+        seeds = seed_round(mi, st_seed, rnd)
+        if seeds is None or len(seeds) == 0:
+            continue
+        chains = chain_seeds(seeds, twlen)
+        if not chains:
+            continue
+
+        for ch in chains:
+            if ch.plen * score_p.mcoef < 2.0 * mp.min_score:
+                break
+            # ---- load root (minialign.c:3839-3885)
+            rsid = ch.root_sid
+            x, y = coords_to_xy(seeds[rsid, 0], seeds[rsid, 2])
+            rid = int(seeds[rsid, 1])
+            rcodes = np.asarray(mi.codes[rid], np.int8)
+            rrev = revcomp_codes(rcodes)
+            rlen = int(mi.lens[rid])
+            apos = x
+            bpos = y + (qlen if y < 0 else 0)
+            if apos >= rlen or bpos >= qlen:
+                apos -= min(apos, mi.k)
+                bpos -= min(bpos, mi.k)
+            st = _SearchState(cp=(apos, bpos), tp=(apos, bpos),
+                              rev=1 if y < 0 else 0, prem=ch.plen,
+                              sid=rsid)
+            eid = len(res)
+            bin_ = Bin()
+            res.append([0, bin_])
+            slots_mark = len(slots)
+
+            first = True
+            while st.srem > 0 and st.prem > 0:
+                if not first:
+                    if not _load_next(st, seeds, tglen, rid, qlen):
+                        break
+                first = False
+                W = WIDTHS[st.narrow]
+                qdir = qrc[st.rev]
+
+                # ---- downward extension
+                a = _slice_a(rcodes, st.cp[0], qlen - st.cp[1], W)
+                b = qdir[st.cp[1]:]
+                sc, mi_, mj_, _ = yield ("down", a, b, W)
+                if sc == 0:
+                    continue
+                ae, be = st.cp[0] + mi_, st.cp[1] + mj_
+                # test_dup (minialign.c:3953-3994), clip to [1, len]
+                st.tp = (min(max(ae, 1), rlen), min(max(be, 1), qlen))
+                k = _poskey(ae, be, rid, qid)
+                dup = k in pos_hash
+                pos_hash[k] = [eid, -1]
+                if dup:
+                    st.narrow = min(st.narrow + 1, 2)
+                    continue
+
+                # ---- upward extension on reversed sequences
+                W0 = WIDTHS[0]
+                au = _slice_a(rrev, rlen - st.tp[0], st.tp[1], W0)
+                bu = revcomp_codes(qdir)[qlen - st.tp[1]:]
+                usc, umi, umj, tr = yield ("up", au, bu, W0)
+                if usc < mp.min_score or tr is None:
+                    continue
+
+                ae, be = st.tp
+                as0, bs0 = ae - umi, be - umj
+                aln = Aln(rid=rid, rev=st.rev, as0=as0, ae=ae,
+                          bs0=bs0, be=be, score=usc, path=tr.path_rev,
+                          identity=tr.identity, dcnt=tr.dcnt,
+                          agcnt=tr.agcnt, bgcnt=tr.bgcnt)
+
+                # ---- record (minialign.c:4018-4067)
+                st.cp = (as0, bs0)
+                st.prem -= aln.plen
+                st.pacc = aln.plen
+                hk = _poskey(as0, bs0, rid, qid)
+                tk = _poskey(ae, be, rid, qid)
+                hent = pos_hash.get(hk)
+                new = hent is None or hent[1] == -1 \
+                    or hent[1] >= len(slots)        # stale after rollback
+                if new:
+                    nid = len(slots)
+                    slots.append(aln)
+                    bin_.slot_idx.append(nid)
+                else:
+                    nid = hent[1]
+                ovl = ((max(bin_.lb, bs0) - min(bin_.ub, be)
+                        - bs0 + be) & 0xFFFFFFFF)
+                res[eid][0] += aln.score + int((ovl * 2) * aln.identity)
+                bin_.n_aln += 1 if new else 0
+                bin_.plen += aln.plen
+                bin_.lb = min(bin_.lb, bs0)
+                bin_.ub = max(bin_.ub, be)
+                if (not new) and slots[nid].score > aln.score:
+                    pos_hash[tk] = [eid, -1]
+                else:
+                    if not new:
+                        slots[nid] = aln
+                    pos_hash[hk] = [eid, nid]
+                    pos_hash[tk] = [eid, nid]
+                st.srem, st.narrow = MM_SREM, 0
+                if (not new) or st.prem <= 0:
+                    break
+
+            # ---- finish root (minialign.c:3795-3811)
+            if bin_.n_aln == 0 or res[eid][0] < mp.min_score:
+                res.pop()
+                del slots[slots_mark:]
+                crem -= 1
+            else:
+                crem = MM_CREM if crem != 0 else 0
+            if crem == 0:
+                break
+        if res:
+            break
+
+    if not res:
+        return None
+    return res, slots

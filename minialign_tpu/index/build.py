@@ -1,0 +1,153 @@
+"""Minimizer reference index.
+
+TPU-first redesign of the reference's two-stage Robinhood hash
+(minialign.c:2450-2997): instead of 2^b buckets of open-addressing
+tables with pointer-linked value arrays, the index is a flat sorted
+key array + CSR offsets + a value array — directly usable on device
+(lookup = vectorized binary search / gather) and trivially shardable
+by hash range across hosts.
+
+Equivalences kept:
+  * same minimizer set (index/sketch.py is bit-compatible).
+  * values are (pos, rid<<1|strand) pairs like mm_mini_t
+    (minialign.c:2661-2664).
+  * occurrence thresholds occ[i] = (k-th smallest of per-key counts at
+    quantile 1-frq[i]) + 1 (minialign.c:2984-2988).
+  * keys with count > occ[-1] are dropped from lookups (the reference
+    drops them at build, minialign.c:2927; we keep them stored but
+    filtered, which is observationally equal and keeps the array
+    shardable without re-counting).
+
+Hit ordering within a key is (pos, rid) ascending; the reference's
+order is its radix sort's equal-key order (insertion order for the
+stable insertion-sorted small buckets). Divergence only affects seed
+tie-breaking order; tracked for the SAM-parity pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from ..params import IndexParams
+from .sketch import sketch
+
+
+@dataclasses.dataclass
+class MMIndex:
+    k: int
+    w: int
+    occ: np.ndarray          # (n_frq,) uint32 occurrence thresholds
+    frq: tuple
+    # reference sequences
+    names: list
+    lens: np.ndarray         # (n_seq,) int64
+    circular: np.ndarray     # (n_seq,) uint8
+    codes: list              # list of (L,) int8 2-bit code arrays
+    # minimizer table
+    keys: np.ndarray         # (K,) uint64 sorted distinct hashes
+    offsets: np.ndarray      # (K+1,) int64 CSR offsets
+    vals_pos: np.ndarray     # (V,) uint32 k-mer start positions
+    vals_rid: np.ndarray     # (V,) uint32 (sid<<1 | strand)
+
+    @property
+    def n_seq(self) -> int:
+        return len(self.names)
+
+    @property
+    def max_occ(self) -> int:
+        return int(self.occ[-1])
+
+    def lookup(self, h: np.ndarray):
+        """Batched lookup: returns (start, count) per query hash; count=0
+        for missing keys."""
+        h = np.asarray(h, np.uint64)
+        idx = np.searchsorted(self.keys, h)
+        idx_c = np.minimum(idx, len(self.keys) - 1) if len(self.keys) else idx
+        found = np.zeros(len(h), bool) if len(self.keys) == 0 else \
+            (self.keys[idx_c] == h) & (idx < len(self.keys))
+        start = np.where(found, self.offsets[np.minimum(idx, len(self.offsets) - 2)], 0)
+        cnt = np.where(found,
+                       self.offsets[np.minimum(idx + 1, len(self.offsets) - 1)]
+                       - start, 0)
+        return start.astype(np.int64), cnt.astype(np.int64)
+
+    def save(self, path: str) -> None:
+        """Serialize as a flat array bundle (.mai.npz — the reference's
+        .mai role: minialign.c:3040-3169)."""
+        np.savez_compressed(
+            path,
+            meta=np.asarray([self.k, self.w, len(self.occ)], np.int64),
+            occ=self.occ, frq=np.asarray(self.frq, np.float64),
+            names=np.asarray(self.names, dtype=object),
+            lens=self.lens, circular=self.circular,
+            keys=self.keys, offsets=self.offsets,
+            vals_pos=self.vals_pos, vals_rid=self.vals_rid,
+            **{f"seq{i}": c for i, c in enumerate(self.codes)},
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "MMIndex":
+        z = np.load(path, allow_pickle=True)
+        meta = z["meta"]
+        n_seq = len(z["lens"])
+        return cls(
+            k=int(meta[0]), w=int(meta[1]),
+            occ=z["occ"], frq=tuple(z["frq"]),
+            names=list(z["names"]), lens=z["lens"], circular=z["circular"],
+            codes=[z[f"seq{i}"] for i in range(n_seq)],
+            keys=z["keys"], offsets=z["offsets"],
+            vals_pos=z["vals_pos"], vals_rid=z["vals_rid"],
+        )
+
+
+def build_index(params: IndexParams, names: Sequence[str],
+                codes: Sequence[np.ndarray],
+                circular: Sequence[bool] | None = None) -> MMIndex:
+    """Build the index from 2-bit-coded reference sequences."""
+    k, w = params.k, params.w
+    circ = np.asarray(
+        [params.circular_all or (n in set(params.circular))
+         for n in names] if circular is None else list(circular), np.uint8)
+
+    hs, ps, rs = [], [], []
+    for sid, c in enumerate(codes):
+        h, pos, strand = sketch(np.asarray(c, np.int64) & 3, k, w)
+        # TODO(circular): wrap the sketch over the origin for circular
+        # refs (mm_sketch_cap, minialign.c:2436-2443)
+        hs.append(h)
+        ps.append(pos.astype(np.uint32))
+        rs.append(((sid << 1) | strand.astype(np.uint32)).astype(np.uint32))
+    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+    pos = np.concatenate(ps) if ps else np.empty(0, np.uint32)
+    rid = np.concatenate(rs) if rs else np.empty(0, np.uint32)
+
+    order = np.lexsort((rid, pos, h))
+    h, pos, rid = h[order], pos[order], rid[order]
+
+    keys, counts = np.unique(h, return_counts=True)
+    offsets = np.zeros(len(keys) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    # occurrence thresholds (minialign.c:2984-2988)
+    occ = np.empty(len(params.frq), np.uint32)
+    if len(counts):
+        cs = np.sort(counts)
+        for i, f in enumerate(params.frq):
+            if f <= 0.0:
+                occ[i] = np.uint32(0xFFFFFFFF)
+            else:
+                occ[i] = cs[min(int((1.0 - f) * len(cs)), len(cs) - 1)] + 1
+    else:
+        occ[:] = 1
+
+    return MMIndex(
+        k=k, w=w, occ=occ, frq=tuple(params.frq),
+        names=list(names),
+        lens=np.asarray([len(c) for c in codes], np.int64),
+        circular=circ,
+        codes=[np.asarray(c, np.int8) for c in codes],
+        keys=keys, offsets=offsets, vals_pos=pos, vals_rid=rid,
+    )

@@ -1,0 +1,263 @@
+"""SAM / PAF output formatters.
+
+Format semantics from the reference printer (minialign.c:4734-5701):
+  * SAM: 11 mandatory fields; no optional tags unless requested via -T;
+    quality '*' unless kept; soft clips on primary records, hard clips
+    on secondary/supplementary; flag 0x10 from the strand, 0x800 for
+    supplementary (non-first unique), 0x100 for secondary.
+  * CIGAR run conventions follow the gaba bit-path parser
+    (gaba_parse.h:148-190): a query-gap run adjacent to a following
+    ref-gap run re-associates one op pair into M (real alignments
+    always start and end with M, so this only affects interior I/D
+    junctions, which the reference parser merges the same way).
+  * mapq is stored x16 and printed >> 4 (MAPQ_DEC, minialign.c:4175).
+  * MD re-walks the path against both sequences (minialign.c:5240).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..extend import Aln
+from ..params import (TAG_AS, TAG_IH, TAG_MD, TAG_NH, TAG_NM, TAG_RG,
+                      TAG_SA, TAG_XS)
+from .bseq import DEC_F, decode
+
+
+def cigar_ops(path: str) -> list:
+    """Forward path ('D'=query base, 'R'=ref base) -> [(count, op)]
+    per the gaba parser conventions (see module docstring)."""
+    out = []
+    i, n = 0, len(path)
+    while i < n:
+        # query-gap (I) run: leave one 'D' as a potential diag start
+        m = 0
+        while i + m < n and path[i + m] == "D":
+            m += 1
+        c = m - 1 if m else 0
+        if c:
+            out.append((c, "I"))
+            i += c
+        # ref-gap (D) run
+        m = 0
+        while i + m < n and path[i + m] == "R":
+            m += 1
+        if m:
+            out.append((m, "D"))
+            i += m
+        # diagonal run
+        m = 0
+        while i + 1 < n and path[i] == "D" and path[i + 1] == "R":
+            m += 1
+            i += 2
+        if m:
+            out.append((m, "M"))
+        elif i < n and path[i] == "D":
+            out.append((1, "I"))     # trailing lone insertion (defensive)
+            i += 1
+    return out
+
+
+def cigar_string(path: str) -> str:
+    return "".join(f"{c}{op}" for c, op in cigar_ops(path))
+
+
+def md_tag(path: str, rcodes: np.ndarray, qcodes: np.ndarray) -> str:
+    """MD:Z value: match-run lengths, mismatch ref bases, ^-prefixed
+    deletions (minialign.c:5240-5298). rcodes/qcodes are the aligned
+    slices (ref forward, query in alignment orientation)."""
+    out = []
+    run = 0
+    ri = qi = 0
+    dec = DEC_F.tobytes().decode()
+    for c, op in cigar_ops(path):
+        if op == "M":
+            for _ in range(c):
+                if rcodes[ri] == qcodes[qi]:
+                    run += 1
+                else:
+                    out.append(str(run))
+                    out.append(dec[min(int(rcodes[ri]), 4)])
+                    run = 0
+                ri += 1
+                qi += 1
+        elif op == "D":
+            out.append(str(run))
+            run = 0
+            out.append("^" + "".join(dec[min(int(x), 4)]
+                                     for x in rcodes[ri:ri + c]))
+            ri += c
+        else:
+            qi += c
+    out.append(str(run))
+    return "".join(out)
+
+
+def _nm(a: Aln) -> int:
+    xcnt = int(a.dcnt * (1.0 - a.identity))
+    return xcnt + a.agcnt + a.bgcnt
+
+
+class SamWriter:
+    def __init__(self, out, tags: tuple = (), rg_line: str | None = None,
+                 rg_id: str = "", arg_line: str = "", version: str = "0.1.0",
+                 omit_rep: bool = False):
+        self.out = out
+        self.tags = set(tags)
+        self.rg_line = rg_line
+        self.rg_id = rg_id
+        self.arg_line = arg_line
+        self.version = version
+        self.omit_rep = omit_rep
+
+    def header(self, names, lens):
+        w = self.out.write
+        w("@HD\tVN:1.0\tSO:unsorted\n")
+        for n, l in zip(names, lens):
+            w(f"@SQ\tSN:{n}\tLN:{int(l)}\n")
+        if self.rg_line:
+            w(self.rg_line + "\n")
+        w(f"@PG\tID:minialign\tPN:minialign\tVN:{self.version}"
+          f"\tCL:{self.arg_line}\n")
+
+    def unmapped(self, seq):
+        qual = seq.qual.decode() if seq.qual else "*"
+        self.out.write(
+            f"{seq.name}\t4\t*\t0\t0\t*\t*\t0\t0\t"
+            f"{decode(seq.codes).decode()}\t{qual}")
+        self._saved_tags(seq)
+        self.out.write("\n")
+
+    def _saved_tags(self, seq):
+        if seq.comment and "CO" in {t for t in ()}:
+            self.out.write(f"\tCO:Z:{seq.comment}")
+
+    def mapped(self, ref_names, ref_lens, ref_codes, seq, reg):
+        if reg is None:
+            self.unmapped(seq)
+            return
+        qlen = len(seq.codes)
+        n = reg.n_uniq if self.omit_rep else len(reg.alns)
+        sa_printed = False
+        for i in range(n):
+            ra = reg.alns[i]
+            a = ra.aln
+            if i == 0:
+                flag = 0
+            elif i < reg.n_uniq:
+                flag = 0x800
+            else:
+                flag = 0x100
+            self._record(ref_names, ref_lens, ref_codes, seq, reg, a,
+                         ra.mapq, flag, i, len(reg.alns))
+            if i == 0 and TAG_SA in self.tags and \
+                    (reg.n_uniq > 1):
+                sa_printed = True
+            self.out.write("\n")
+            if sa_printed:
+                break
+
+    def _record(self, ref_names, ref_lens, ref_codes, seq, reg, a: Aln,
+                mapq, flag, idx, n_reg):
+        w = self.out.write
+        qlen = len(seq.codes)
+        flag |= 0x10 if a.rev else 0
+        hl, tl = a.bs0, qlen - a.be
+        hard = bool(flag & 0x900)
+        qs = hl if hard else 0
+        qe = qlen - (tl if hard else 0)
+        clip = "H" if hard else "S"
+
+        cig = []
+        if hl:
+            cig.append(f"{hl}{clip}")
+        cig.append(cigar_string(a.path))
+        if tl:
+            cig.append(f"{tl}{clip}")
+
+        qcodes = seq.codes if not a.rev else None
+        if a.rev:
+            sseq = decode(seq.codes[::-1][qs:qe][::-1], rev=True).decode()
+        else:
+            sseq = decode(seq.codes[qs:qe]).decode()
+
+        if seq.qual:
+            q = seq.qual[::-1] if a.rev else seq.qual
+            qual = q[qs:qe].decode()
+        else:
+            qual = "*"
+
+        w(f"{seq.name}\t{flag}\t{ref_names[a.rid]}\t{a.as0 + 1}\t"
+          f"{mapq >> 4}\t{''.join(cig)}\t*\t0\t0\t{sseq}\t{qual}")
+
+        # general tags (minialign.c:5304-5340)
+        if TAG_RG in self.tags and self.rg_id:
+            w(f"\tRG:Z:{self.rg_id}")
+        if TAG_NH in self.tags:
+            w(f"\tNH:i:{n_reg}")
+        if TAG_IH in self.tags:
+            w(f"\tIH:i:{idx}")
+        if TAG_AS in self.tags:
+            w(f"\tAS:i:{a.score}")
+        if TAG_NM in self.tags:
+            w(f"\tNM:i:{_nm(a)}")
+        if TAG_MD in self.tags:
+            rsl = np.asarray(ref_codes[a.rid][a.as0:a.ae])
+            qdir = seq.codes if not a.rev else \
+                (3 - seq.codes[::-1]).astype(np.int8)
+            w("\tMD:Z:" + md_tag(a.path, rsl, qdir[a.bs0:a.be]))
+        if idx == 0:
+            if TAG_XS in self.tags:
+                xs = reg.alns[1].aln.score if len(reg.alns) > 1 else 0
+                w(f"\tXS:i:{xs}")
+            if TAG_SA in self.tags and reg.n_uniq > 1:
+                w("\tSA:Z:")
+                for k in range(reg.n_uniq):
+                    if k == 0:
+                        continue
+                    s = reg.alns[k]
+                    sa = s.aln
+                    shl, stl = sa.bs0, qlen - sa.be
+                    parts = []
+                    if shl:
+                        parts.append(f"{shl}H")
+                    parts.append(cigar_string(sa.path))
+                    if stl:
+                        parts.append(f"{stl}H")
+                    w(f"{ref_names[sa.rid]},{sa.as0 + 1},"
+                      f"{'+' if not sa.rev else '-'},{''.join(parts)},"
+                      f"{s.mapq >> 4},{_nm(sa)};")
+
+
+class PafWriter:
+    """PAF formatter (minialign.c:5569-5619)."""
+
+    def __init__(self, out, tags: tuple = ()):
+        self.out = out
+        self.tags = set(tags)
+
+    def header(self, names, lens):
+        pass
+
+    def mapped(self, ref_names, ref_lens, ref_codes, seq, reg):
+        if reg is None:
+            return
+        qlen = len(seq.codes)
+        for i, ra in enumerate(reg.alns):
+            a = ra.aln
+            mcnt = int(a.dcnt * a.identity)
+            blk = max(a.ae - a.as0, a.be - a.bs0)
+            if a.rev:
+                qs, qe = qlen - a.be, qlen - a.bs0
+            else:
+                qs, qe = a.bs0, a.be
+            self.out.write(
+                f"{seq.name}\t{qlen}\t{qs}\t{qe}\t"
+                f"{'-' if a.rev else '+'}\t{ref_names[a.rid]}\t"
+                f"{int(ref_lens[a.rid])}\t{a.as0}\t{a.ae}\t"
+                f"{mcnt}\t{blk}\t{ra.mapq >> 4}")
+            if TAG_AS in self.tags:
+                self.out.write(f"\tAS:i:{a.score}")
+            if TAG_NM in self.tags:
+                self.out.write(f"\tNM:i:{_nm(a)}")
+            self.out.write("\n")

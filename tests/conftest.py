@@ -8,3 +8,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# persistent compilation cache: fill-kernel variants are expensive to
+# compile on the CPU backend; cache across test runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/minialign_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault(
+    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")

@@ -1,0 +1,101 @@
+"""End-to-end API smoke tests: synthetic genome -> index -> map."""
+
+import numpy as np
+import pytest
+
+from minialign_tpu.extend import FillEngine, revcomp_codes
+from minialign_tpu.index.build import build_index
+from minialign_tpu.params import IndexParams, MapParams
+from minialign_tpu.pipeline import align_batch
+
+
+@pytest.fixture(scope="module")
+def genome():
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 4, 5000).astype(np.int8)
+
+
+@pytest.fixture(scope="module")
+def index(genome):
+    return build_index(IndexParams(), ["chr_t"], [genome])
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return FillEngine(MapParams().score, batch=8)
+
+
+def _mutate(rng, s, err=0.08):
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < err * 0.5:
+            out.append(rng.integers(0, 4))
+        elif r < err * 0.75:
+            out.append(rng.integers(0, 4))
+            out.append(ch)
+        elif r < err:
+            pass
+        else:
+            out.append(ch)
+    return np.asarray(out, np.int8)
+
+
+def test_perfect_read(index, genome, engine):
+    mp = MapParams()
+    read = genome[1000:2500].copy()
+    regs = align_batch(mp, index, [read], engine)
+    assert regs[0] is not None
+    a = regs[0].alns[0].aln
+    assert a.rev == 0
+    assert a.as0 == 1000 and a.ae == 2500
+    assert a.bs0 == 0 and a.be == 1500
+    assert a.score == 1500 * mp.score.max_match
+    assert a.path == "DR" * 1500
+
+
+def test_reverse_read(index, genome, engine):
+    mp = MapParams()
+    read = revcomp_codes(genome[1000:2500])
+    regs = align_batch(mp, index, [read], engine)
+    assert regs[0] is not None
+    a = regs[0].alns[0].aln
+    assert a.rev == 1
+    assert a.as0 == 1000 and a.ae == 2500
+    # strand-space query coords cover the whole read
+    assert a.bs0 == 0 and a.be == 1500
+
+
+def test_mutated_reads(index, genome, engine):
+    mp = MapParams()
+    rng = np.random.default_rng(7)
+    reads, starts = [], []
+    for _ in range(6):
+        st = int(rng.integers(0, 3000))
+        ln = int(rng.integers(800, 2000))
+        r = _mutate(rng, genome[st:st + ln])
+        if rng.random() < 0.5:
+            r = revcomp_codes(r)
+        reads.append(r)
+        starts.append(st)
+    regs = align_batch(mp, index, reads, engine)
+    for k, reg in enumerate(regs):
+        assert reg is not None, k
+        a = reg.alns[0].aln
+        assert abs(a.as0 - starts[k]) < 50, (k, a.as0, starts[k])
+        assert a.identity > 0.85
+
+
+def test_unmappable_read(index, engine):
+    mp = MapParams()
+    rng = np.random.default_rng(3)
+    read = rng.integers(0, 4, 1000).astype(np.int8)
+    regs = align_batch(mp, index, [read], engine)
+    assert regs[0] is None
+
+
+def test_short_read_skipped(index, engine):
+    mp = MapParams()
+    regs = align_batch(mp, index, [np.zeros(10, np.int8)],
+                       engine)
+    assert regs[0] is None
