@@ -46,7 +46,12 @@ class TraceResult:
 
 
 def _identity(p: ScoreParams, score: int, dcnt: int, gap_penalty: int) -> float:
-    """identity = ((score + gaps)/dlen - x) / (m - x) (gaba.c:3336-3352)."""
+    """identity = ((score + gaps)/dlen - x) / (m - x) (gaba.c:3336-3352).
+
+    Empirically (probed against the reference binary with controlled
+    indel reads), only the REF-SIDE (deletion / E-branch) gap penalties
+    are added back into dsc; query-side (insertion) gaps are not. The
+    gap_penalty argument must therefore be the ref-side total only."""
     if dcnt == 0:
         return 0.0
     m, x = p.max_match, p.min_match
@@ -96,10 +101,13 @@ def traceback_one(p: ScoreParams, W: int,
 
     ops = []                     # built backward
     dcnt = agcnt = bgcnt = 0
-    n_open = 0                   # affine gap regions
-    n_ext = 0                    # affine gap bases
-    n_gf = 0                     # linear (gf) gap bases
+    n_open = 0                   # affine gap regions (both sides)
+    n_ext = 0                    # affine gap bases (both sides)
+    n_gf = 0                     # linear (gf) gap bases (both sides)
     gf_pen = 0
+    e_pen = 0                    # ref-side (R/E) gap penalty only: the
+                                 # component the reference adds back
+                                 # into the identity estimate
 
     def move_f():                # (i, j) -> (i, j-1)
         nonlocal j, pp, q
@@ -141,9 +149,11 @@ def traceback_one(p: ScoreParams, W: int,
             if p.model == 2 and p.gfb * i < aff:
                 n_gf += i
                 gf_pen += p.gfb * i
+                e_pen += p.gfb * i
             else:
                 n_open += 1
                 n_ext += i
+                e_pen += aff
             break
         if not (0 <= q < W):
             return None
@@ -170,14 +180,17 @@ def traceback_one(p: ScoreParams, W: int,
             agcnt += 1
             n_gf += 1
             gf_pen += p.gfb_eff
+            e_pen += p.gfb_eff
             move_e()
         elif mbit(pp, M_E, q):
             n_open += 1
+            e_pen += gi
             while True:
                 eo = mbit(pp, M_EO, q)
                 ops.append("R")
                 agcnt += 1
                 n_ext += 1
+                e_pen += ge
                 move_e()
                 if eo or i <= 0:
                     break
@@ -196,7 +209,7 @@ def traceback_one(p: ScoreParams, W: int,
     return TraceResult(score=score, alen=ai, blen=bj, path=path,
                        path_rev=path_rev,
                        dcnt=dcnt, agcnt=agcnt, bgcnt=bgcnt,
-                       identity=_identity(p, score, dcnt, gap_penalty),
+                       identity=_identity(p, score, dcnt, e_pen),
                        gap_penalty=gap_penalty)
 
 

@@ -245,12 +245,13 @@ class PafWriter:
         qlen = len(seq.codes)
         for i, ra in enumerate(reg.alns):
             a = ra.aln
+            # mcnt/blk per minialign.c:5600-5603; q coords are in
+            # alignment-orientation (strand) space like the reference's
+            # reversed-segment arithmetic (minialign.c:5583-5584)
             mcnt = int(a.dcnt * a.identity)
-            blk = max(a.ae - a.as0, a.be - a.bs0)
-            if a.rev:
-                qs, qe = qlen - a.be, qlen - a.bs0
-            else:
-                qs, qe = a.bs0, a.be
+            gcnt = a.agcnt + a.bgcnt
+            blk = a.dcnt + gcnt
+            qs, qe = a.bs0, a.be
             self.out.write(
                 f"{seq.name}\t{qlen}\t{qs}\t{qe}\t"
                 f"{'-' if a.rev else '+'}\t{ref_names[a.rid]}\t"

@@ -1,0 +1,141 @@
+"""Golden end-to-end SAM/PAF equality against reference-binary outputs
+(tests/data/README.md). The PR1 acceptance metric is byte-identical
+SAM; any divergence is a bug or a documented parity gap."""
+
+import io
+import os
+import sys
+
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _run_cli(args):
+    from minialign_tpu import cli
+    out = io.StringIO()
+    old = sys.stdout
+    sys.stdout = out
+    try:
+        rc = cli.main(args)
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    return out.getvalue()
+
+
+def _strip_pg(text):
+    return [l for l in text.splitlines() if not l.startswith("@PG")]
+
+
+@pytest.mark.slow
+def test_default_sam_byte_identical():
+    got = _run_cli(["-t1", f"{DATA}/tref.fa", f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_out.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_pacbio_preset_sam_byte_identical():
+    got = _run_cli(["-t1", "-xpacbio", f"{DATA}/tref.fa",
+                    f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_pacbio.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
+
+
+def _strip_md(lines):
+    return ["\t".join(f for f in l.split("\t")
+                      if not f.startswith("MD:Z:")) for l in lines]
+
+
+@pytest.mark.slow
+def test_tags_sam_byte_identical():
+    """All tag fields byte-identical except MD, where the reference has
+    a reverse-strand bug (PARITY.md item 1); MD correctness is covered
+    by test_md_truth."""
+    got = _run_cli(["-t1", "-TAS,NM,MD,XS,NH,IH", f"{DATA}/tref.fa",
+                    f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_tags.sam").read()
+    got_l, want_l = _strip_pg(got), _strip_pg(want)
+    assert _strip_md(got_l) == _strip_md(want_l)
+    # forward-strand MD must still match the reference exactly
+    for g, w in zip(got_l, want_l):
+        if g.startswith("@"):
+            continue
+        if int(g.split("\t")[1]) & 0x10 == 0:
+            assert g == w
+    global _TAGS_OUTPUT
+    _TAGS_OUTPUT = got
+
+
+_TAGS_OUTPUT = None
+
+
+@pytest.mark.slow
+def test_md_truth():
+    """Our MD must equal an independent CIGAR-walk recomputation for
+    every record (both strands)."""
+    import re
+    got = _TAGS_OUTPUT or _run_cli(
+        ["-t1", "-TMD", f"{DATA}/tref.fa", f"{DATA}/treads.fq"])
+    ref = "".join(l.strip() for l in open(f"{DATA}/tref.fa")
+                  if not l.startswith(">"))
+    reads = {}
+    ls = open(f"{DATA}/treads.fq").read().splitlines()
+    for i in range(0, len(ls), 4):
+        reads[ls[i][1:].split()[0]] = ls[i + 1]
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    n_checked = 0
+    for line in got.splitlines():
+        if line.startswith("@"):
+            continue
+        rec = line.split("\t")
+        flag, pos, cig = int(rec[1]), int(rec[3]), rec[5]
+        seq = reads[rec[0]]
+        if flag & 16:
+            seq = "".join(comp[c] for c in reversed(seq))
+        md_field = [f for f in rec if f.startswith("MD:Z:")]
+        if not md_field:
+            continue
+        ri, qi = pos - 1, 0
+        md, run = [], 0
+        for c, op in re.findall(r"(\d+)([MIDSH])", cig):
+            c = int(c)
+            if op in "SH":
+                qi += c
+            elif op == "M":
+                for _ in range(c):
+                    if ref[ri] == seq[qi]:
+                        run += 1
+                    else:
+                        md.append(str(run))
+                        md.append(ref[ri])
+                        run = 0
+                    ri += 1
+                    qi += 1
+            elif op == "D":
+                md.append(str(run))
+                run = 0
+                md.append("^" + ref[ri:ri + c])
+                ri += c
+            else:
+                qi += c
+        md.append(str(run))
+        assert md_field[0][5:] == "".join(md), rec[0]
+        n_checked += 1
+    assert n_checked == 8
+
+
+@pytest.mark.slow
+def test_qual_sam_byte_identical():
+    got = _run_cli(["-t1", "-Q", f"{DATA}/tref.fa", f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_qual.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_paf_byte_identical():
+    got = _run_cli(["-t1", "-Opaf", f"{DATA}/tref.fa",
+                    f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_out.paf").read()
+    assert got == want

@@ -1,0 +1,68 @@
+"""Pallas kernel vs the XLA reference fill: identical results required
+(scores, max positions, masks, dirs). Runs in interpreter mode on CPU;
+the same kernel compiles natively on TPU."""
+
+import numpy as np
+import pytest
+
+from minialign_tpu.dp import band, pallas_fill
+from minialign_tpu.params import ScoreParams
+
+
+def simple(m, x, gi, ge, **kw):
+    mat = tuple(m if (i & 3) == (i >> 2) else -x for i in range(16))
+    return ScoreParams(matrix=mat, gi=gi, ge=ge, xdrop=80, **kw)
+
+
+def mutate(rng, a, wband):
+    out = []
+    drift = 0
+    lim = wband // 2 - 6
+    for ch in a:
+        r = rng.random()
+        if r < 0.10:
+            out.append(rng.integers(0, 4))
+        elif r < 0.15 and drift < lim:
+            out.append(rng.integers(0, 4))
+            out.append(ch)
+            drift += 1
+        elif r < 0.20 and drift > -lim:
+            drift -= 1
+        else:
+            out.append(ch)
+    return np.asarray(out, np.int64)
+
+
+@pytest.mark.parametrize("pname,W", [("affine", 64), ("combined", 32)])
+def test_pallas_matches_xla(pname, W):
+    p = {"affine": simple(2, 3, 5, 1),
+         "combined": simple(2, 4, 4, 2, gfa=3, gfb=3)}[pname]
+    rng = np.random.default_rng(13)
+    B = 8
+    seqs_a = [rng.integers(0, 4, int(rng.integers(40, 250)))
+              for _ in range(B)]
+    seqs_b = [mutate(rng, a, W) for a in seqs_a]
+    ab, alen = band.pad_codes(seqs_a)
+    bb, blen = band.pad_codes(seqs_b)
+
+    nb = 24
+    ref_fill = band.make_fill(p, W, max_blocks=nb, trace=True)
+    pal_fill = pallas_fill.make_fill_pallas(p, W, max_blocks=nb,
+                                            trace=True, interpret=True)
+    r1, b1 = ref_fill(ab, alen, bb, blen)
+    r2, b2 = pal_fill(ab, alen, bb, blen)
+
+    np.testing.assert_array_equal(np.asarray(r1.max_score),
+                                  np.asarray(r2.max_score))
+    np.testing.assert_array_equal(np.asarray(r1.max_i),
+                                  np.asarray(r2.max_i))
+    np.testing.assert_array_equal(np.asarray(r1.max_j),
+                                  np.asarray(r2.max_j))
+    n1, n2 = int(np.asarray(r1.n_blocks)), int(np.asarray(r2.n_blocks))
+    assert n1 == n2
+    np.testing.assert_array_equal(np.asarray(b1.dirs)[:, :n1],
+                                  np.asarray(b2.dirs)[:, :n1])
+    np.testing.assert_array_equal(np.asarray(b1.iheads)[:, :n1],
+                                  np.asarray(b2.iheads)[:, :n1])
+    np.testing.assert_array_equal(np.asarray(b1.masks)[:, :n1],
+                                  np.asarray(b2.masks)[:, :n1])
