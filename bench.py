@@ -53,7 +53,11 @@ def main():
     blen = np.full(B, L, np.int32)
 
     max_blocks = (2 * L + 2 * band.TAIL_N) // band.BLK + 2
-    fill = band.make_fill(p, 64, max_blocks=max_blocks, trace=False)
+    if jax.default_backend() == "tpu":
+        from minialign_tpu.dp.pallas_fill import make_fill_pallas
+        fill = make_fill_pallas(p, 64, max_blocks=max_blocks, trace=False)
+    else:
+        fill = band.make_fill(p, 64, max_blocks=max_blocks, trace=False)
 
     ab_d, bb_d = jax.device_put(ab), jax.device_put(bb)
     alen_d, blen_d = jax.device_put(alen), jax.device_put(blen)

@@ -47,14 +47,15 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     floor = score_floor(p)
     gi, ge = p.gi, p.ge
     gfa, gfb = p.gfa_eff, p.gfb_eff
-    sub55 = jnp.asarray(p.matrix55(), jnp.int32)
 
     S, Sp, E, F, ach, bch, ihead, rprev = carry
 
+    # down flag kept as int32 0/1 (Mosaic dislikes i1-valued selects)
     edge_ok = (ihead - (W - 1) >= 0) & ((pp + 2) - ihead >= 0)   # (1, B)
-    down = jnp.where(edge_ok, S[W - 1:W] > S[0:1],
-                     ((pp + 1) & 1) == 1)                         # (1, B)
-    d = down                                                      # (1, B)
+    down_i = jnp.where(edge_ok,
+                       (S[W - 1:W] > S[0:1]).astype(jnp.int32),
+                       (pp + 1) & 1)                              # (1, B)
+    d = down_i == 1                                               # (1, B)
 
     def roll_q(x, delta, fill):
         if delta == 1:
@@ -71,7 +72,7 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     E_new = jnp.maximum(SsrcE - gi, EsrcE) - ge
     F_new = jnp.maximum(SsrcF - gi, FsrcF) - ge
 
-    sh = down.astype(jnp.int32) - rprev                           # (1, B)
+    sh = down_i - rprev                                           # (1, B)
     Sdiag = jnp.where(sh == 1, roll_q(Sp, 1, floor),
                       jnp.where(sh == -1, roll_q(Sp, -1, floor), Sp))
 
@@ -80,7 +81,23 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     bch_new = jnp.where(d, jnp.concatenate([bch[1:], bnext], axis=0),
                         bch)
 
-    subsc = sub55[bch_new, ach_new]
+    # substitution score without a table gather (no pshufb on TPU):
+    # uniform matrices (every preset) need 3 selects; -e-modified
+    # matrices fall back to a 16-term select chain.
+    mat = p.matrix44()
+    n_sub = -2 * (gi + ge)
+    is_n = (ach_new >= 4) | (bch_new >= 4)
+    if len(set(np.diag(mat).tolist())) == 1 and \
+            len(set(mat[~np.eye(4, dtype=bool)].tolist())) == 1:
+        m_, x_ = int(mat[0, 0]), int(mat[0, 1])
+        subsc = jnp.where(ach_new == bch_new, m_, x_)
+    else:
+        subsc = jnp.zeros_like(S)
+        for y in range(4):
+            for x in range(4):
+                subsc = jnp.where((ach_new == x) & (bch_new == y),
+                                  int(mat[y, x]), subsc)
+    subsc = jnp.where(is_n, n_sub, subsc)
 
     S_new = jnp.maximum(
         Sdiag + subsc,
@@ -97,7 +114,7 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
         E_new == SsrcE - gi - ge,
     )
 
-    ihead_new = ihead + (~down).astype(jnp.int32)
+    ihead_new = ihead + (1 - down_i)
     p_new = pp + 1
     q = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
     i_lane = ihead_new - q                                        # (W, B)
@@ -128,87 +145,113 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
 
     cand = jnp.where(on_i0 | on_j0 | invalid, floor, S_new)
     step_max = jnp.max(cand, axis=0, keepdims=True)               # (1, B)
-    step_arg = jnp.argmax(cand, axis=0).astype(jnp.int32)[None]   # (1, B)
+    # first-max lane (Mosaic lacks integer argmax): min index where
+    # cand equals the max
+    step_arg = jnp.min(jnp.where(cand == step_max, q, W),
+                       axis=0, keepdims=True).astype(jnp.int32)   # (1, B)
 
     new_carry = (S_new, S, E_new, F_new, ach_new, bch_new,
-                 ihead_new, (~down).astype(jnp.int32))
-    return new_carry, down, masks, step_max, step_arg
+                 ihead_new, 1 - down_i)
+    return new_carry, down_i, masks, step_max, step_arg
 
 
-def _make_block_kernel(p: ScoreParams, W: int, B: int, trace: bool):
+def _make_block_kernel(p: ScoreParams, W: int, B: int, trace: bool,
+                       K: int):
+    """Kernel processing K consecutive 32-step blocks per launch. The
+    char slabs hold K*BLK lookahead rows per side and are consumed by
+    per-problem conditional rolls (the next char is always slab row 0
+    for each problem), so no dynamic indexing is needed."""
     floor = score_floor(p)
     c = W // 2
+    SL = K * BLK            # slab rows
 
     def kernel(p0_ref,                       # (1, 1) SMEM: block start p
                S_ref, Sp_ref, E_ref, F_ref,  # (W, B) i32 state (aliased)
                ach_ref, bch_ref,             # (W, B) i32 chars (aliased)
                sc_ref,                       # (8, B) i32 scalars (aliased)
-               aslab_ref, bslab_ref,         # (BLK, B) i32 lookahead
+               aslabT_ref, bslabT_ref,       # (B, SL) i8 slabs
                So_ref, Spo_ref, Eo_ref, Fo_ref,
                acho_ref, bcho_ref, sco_ref,  # outputs (aliased to inputs)
-               masks_ref, dirs_ref):         # (BLK,6,2,B) u32, (1,B) u32
+               masks_ref, dirs_ref):         # (K,BLK,6,2,B), (K,B) i32
         p0 = p0_ref[0, 0]
-        ihead0 = sc_ref[R_IHEAD:R_IHEAD + 1]                     # (1, B)
-        jhead0 = (p0 + 2) - ihead0 + (W - 1)  # j index base at block
-        term = sc_ref[R_TERM:R_TERM + 1]
-        riota = jax.lax.broadcasted_iota(jnp.int32, (BLK, B), 0)
+        term0 = sc_ref[R_TERM:R_TERM + 1]
+
+        # (B, SL) int8 slabs arrive gathered by the outer step (vmapped
+        # dynamic_slice); transpose to the (rows, lanes) compute layout
+        aslab0 = aslabT_ref[:].astype(jnp.int32).T      # (SL, B)
+        bslab0 = bslabT_ref[:].astype(jnp.int32).T
 
         carry0 = (S_ref[:], Sp_ref[:], E_ref[:], F_ref[:],
                   ach_ref[:], bch_ref[:],
                   sc_ref[R_IHEAD:R_IHEAD + 1], sc_ref[R_RPREV:R_RPREV + 1])
         track0 = (sc_ref[R_GMAX:R_GMAX + 1], sc_ref[R_GI:R_GI + 1],
-                  sc_ref[R_GJ:R_GJ + 1], sc_ref[R_NSTEPS:R_NSTEPS + 1],
-                  jnp.zeros((1, B), jnp.uint32))
+                  sc_ref[R_GJ:R_GJ + 1], sc_ref[R_NSTEPS:R_NSTEPS + 1])
 
-        aslab = aslab_ref[:]
-        bslab = bslab_ref[:]
+        nrow = jnp.full((1, B), NCODE, jnp.int32)
 
-        def body(t, state):
-            carry, track = state
+        def step_body(t, state):
+            carry, track, term, aslab, bslab, dirbits = state
             S, Sp, E, F, ach, bch, ihead, rprev = carry
             pp = p0 + t
-            # one-hot slab select for the next chars
-            arel = ihead - ihead0                                # (1, B)
-            anext = jnp.sum(jnp.where(riota == arel, aslab, 0),
-                            axis=0, keepdims=True)
-            jpos = (pp + 2) - ihead + (W - 1)
-            brel = jpos - jhead0
-            bnext = jnp.sum(jnp.where(riota == brel, bslab, 0),
-                            axis=0, keepdims=True)
+            anext = aslab[0:1]
+            bnext = bslab[0:1]
 
-            carry, down, masks, step_max, step_arg = _step_t(
+            carry, down_i, masks, step_max, step_arg = _step_t(
                 p, W, B, carry, anext, bnext, pp, None)
+            d = down_i == 1
 
-            gmax, gi_, gj_, nsteps, dirbits = track
+            # consume: roll the used side down by one row
+            aslab = jnp.where(d, aslab,
+                              jnp.concatenate([aslab[1:], nrow], axis=0))
+            bslab = jnp.where(d,
+                              jnp.concatenate([bslab[1:], nrow], axis=0),
+                              bslab)
+
+            gmax, gi_, gj_, nsteps = track
             upd = (step_max > gmax) & (term == 0)
             ihead_new = carry[6]
             gmax = jnp.where(upd, step_max, gmax)
             gi_ = jnp.where(upd, ihead_new - step_arg, gi_)
             gj_ = jnp.where(upd, (pp + 3) - (ihead_new - step_arg), gj_)
             nsteps = nsteps + (term == 0).astype(jnp.int32)
-            dirbits = dirbits | (down.astype(jnp.uint32)
-                                 << t.astype(jnp.uint32))
+            dirbits = dirbits | (down_i << (t % BLK))
 
             if trace:
-                w32 = (jnp.uint32(1) << (jax.lax.broadcasted_iota(
-                    jnp.uint32, (W, B), 0) % 32))
+                # int32 packing: sums of distinct powers of two wrap to
+                # the same bit pattern as the uint32 OR would
+                w32 = (jnp.int32(1) << (jax.lax.broadcasted_iota(
+                    jnp.int32, (W, B), 0) % 32))
+                zero_row = jnp.zeros((1, B), jnp.int32)
                 for mi, m in enumerate(masks):
-                    packed = jnp.sum(
-                        (m.astype(jnp.uint32) * w32).reshape(
-                            W // 32 if W >= 32 else 1, 32
-                            if W >= 32 else W, B),
-                        axis=1)                                   # (w, B)
-                    if W < 64:
-                        packed = jnp.concatenate(
-                            [packed, jnp.zeros((2 - packed.shape[0], B),
-                                               jnp.uint32)], axis=0)
-                    masks_ref[t, mi] = packed
+                    mw = m.astype(jnp.int32) * w32
+                    lo = jnp.sum(mw[:min(32, W)], axis=0, keepdims=True)
+                    hi = jnp.sum(mw[32:], axis=0, keepdims=True) \
+                        if W > 32 else zero_row
+                    masks_ref[t // BLK, t % BLK, mi] = \
+                        jnp.concatenate([lo, hi], axis=0)
 
-            return (carry, (gmax, gi_, gj_, nsteps, dirbits))
+            # block boundary: save dir bits, X-drop test (gaba.c:1738)
+            at_blk_end = ((t + 1) % BLK) == 0
 
-        carry, track = jax.lax.fori_loop(0, BLK, body, (carry0, track0))
+            @pl.when(at_blk_end)
+            def _():
+                dirs_ref[t // BLK] = dirbits[0]
+
+            xdrop_hit = ((gmax - carry[0][c:c + 1])
+                         > p.xdrop).astype(jnp.int32)
+            term_new = jnp.where(at_blk_end, term | xdrop_hit, term)
+            dirbits = jnp.where(at_blk_end,
+                                jnp.zeros((1, B), jnp.int32), dirbits)
+
+            return (carry, (gmax, gi_, gj_, nsteps), term_new,
+                    aslab, bslab, dirbits)
+
+        state = (carry0, track0, term0, aslab0, bslab0,
+                 jnp.zeros((1, B), jnp.int32))
+        state = jax.lax.fori_loop(0, K * BLK, step_body, state)
+        carry, track, term, _, _, _ = state
         S, Sp, E, F, ach, bch, ihead, rprev = carry
-        gmax, gi_, gj_, nsteps, dirbits = track
+        gmax, gi_, gj_, nsteps = track
 
         So_ref[:] = S
         Spo_ref[:] = Sp
@@ -218,32 +261,34 @@ def _make_block_kernel(p: ScoreParams, W: int, B: int, trace: bool):
         bcho_ref[:] = bch
         sco_ref[R_IHEAD:R_IHEAD + 1] = ihead
         sco_ref[R_RPREV:R_RPREV + 1] = rprev
-        # X-drop test at block end (gaba.c:1738)
-        xdrop_hit = (gmax - S[c:c + 1]) > p.xdrop
-        sco_ref[R_TERM:R_TERM + 1] = (term | xdrop_hit.astype(jnp.int32))
+        sco_ref[R_TERM:R_TERM + 1] = term
         sco_ref[R_GMAX:R_GMAX + 1] = gmax
         sco_ref[R_GI:R_GI + 1] = gi_
         sco_ref[R_GJ:R_GJ + 1] = gj_
         sco_ref[R_NSTEPS:R_NSTEPS + 1] = nsteps
         sco_ref[R_PAD:R_PAD + 1] = sc_ref[R_PAD:R_PAD + 1]
-        dirs_ref[:] = dirbits
 
     return kernel
 
 
 def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
-                     interpret: bool = False):
+                     interpret: bool = False, K: int = 8):
     """Pallas-backed drop-in for band.make_fill: same signature and
-    semantics, (B, LA)/(B, LB) int8 inputs."""
+    semantics, (B, LA)/(B, LB) int8 inputs. K = 32-step blocks per
+    kernel launch (slab gathers and launches amortize over K)."""
     p.check()
-    floor = score_floor(p)
-    c = W // 2
+    K = max(1, min(K, max_blocks))
+    n_launch = -(-max_blocks // K)
+    max_blocks = n_launch * K
+    SL = K * BLK
 
     def fill(a, alen, b, blen):
         B, LA = a.shape
         LB = b.shape[1]
-        a32 = a.astype(jnp.int32)
-        b32 = b.astype(jnp.int32)
+        # pad with N so clamped slab windows always read sentinel bases
+        a_pad = jnp.pad(a, ((0, 0), (0, 2 * SL)), constant_values=NCODE)
+        b_pad = jnp.pad(b, ((0, 0), (0, 2 * SL)), constant_values=NCODE)
+        LAp, LBp = LA + 2 * SL, LB + 2 * SL
         st0 = band._init_band(p, W, B, a, b)
 
         S = st0["S"].T
@@ -257,8 +302,7 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         plim = jnp.minimum(alen + blen + 2 * TAIL_N,
                            jnp.int32(max_blocks * BLK - 2))
 
-        kernel = _make_block_kernel(p, W, B, trace)
-        n_state = 7
+        kernel = _make_block_kernel(p, W, B, trace, K)
         out_shape = [
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # S
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # Sp
@@ -267,16 +311,15 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # ach
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # bch
             jax.ShapeDtypeStruct((8, B), jnp.int32),   # scalars
-            jax.ShapeDtypeStruct((BLK, 6, 2, B), jnp.uint32),  # masks
-            jax.ShapeDtypeStruct((1, B), jnp.uint32),  # dirs
+            jax.ShapeDtypeStruct((K, BLK, 6, 2, B), jnp.int32),  # masks
+            jax.ShapeDtypeStruct((K, B), jnp.int32),   # dirs
         ]
-        vmem = pl.BlockSpec(memory_space=pltpu.ANY) if False else \
-            pl.BlockSpec(memory_space=pltpu.VMEM)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem11 = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
         call = pl.pallas_call(
             kernel,
             out_shape=out_shape,
-            in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
-            + [vmem] * (n_state + 2),
+            in_specs=[smem11] + [vmem] * 9,
             out_specs=[vmem] * 9,
             input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5,
                                   7: 6},
@@ -285,30 +328,32 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
 
         if trace:
             bufs = TraceBuffers(
-                masks=jnp.zeros((max_blocks, BLK, 6, 2, B), jnp.uint32),
-                dirs=jnp.zeros((max_blocks, B), jnp.uint32),
+                masks=jnp.zeros((max_blocks, BLK, 6, 2, B), jnp.int32),
+                dirs=jnp.zeros((max_blocks, B), jnp.int32),
                 iheads=jnp.zeros((max_blocks, B), jnp.int32),
                 rprevs=jnp.zeros((max_blocks, B), jnp.int32),
             )
         else:
             bufs = ()
 
-        def block_body(state):
-            (S, Sp, E, F, ach, bch, sc, bufs, blk) = state
+        def launch_body(state):
+            (S, Sp, E, F, ach, bch, sc, bufs, lch) = state
             ihead0 = sc[R_IHEAD]
-            p0 = blk * BLK - 1                    # p of current band
+            p0 = lch * SL - 1                     # p of current band
             jhead0 = (p0 + 2) - ihead0 + (W - 1)
-            ar = ihead0[:, None] + jnp.arange(BLK)[None, :]
-            aslab = jnp.where(ar < LA, jnp.take_along_axis(
-                a32, jnp.clip(ar, 0, LA - 1), axis=1), NCODE).T
-            br = jhead0[:, None] + jnp.arange(BLK)[None, :]
-            bslab = jnp.where((br >= 0) & (br < LB), jnp.take_along_axis(
-                b32, jnp.clip(br, 0, LB - 1), axis=1), NCODE).T
+            offa = jnp.clip(ihead0, 0, LAp - SL)
+            offb = jnp.clip(jhead0, 0, LBp - SL)
+            aslab = jax.vmap(
+                lambda row, o: jax.lax.dynamic_slice(row, (o,), (SL,))
+            )(a_pad, offa)
+            bslab = jax.vmap(
+                lambda row, o: jax.lax.dynamic_slice(row, (o,), (SL,))
+            )(b_pad, offb)
 
             if trace:
                 bufs_ = bufs._replace(
-                    iheads=bufs.iheads.at[blk].set(sc[R_IHEAD]),
-                    rprevs=bufs.rprevs.at[blk].set(sc[R_RPREV]))
+                    iheads=bufs.iheads.at[lch * K].set(sc[R_IHEAD]),
+                    rprevs=bufs.rprevs.at[lch * K].set(sc[R_RPREV]))
             else:
                 bufs_ = bufs
 
@@ -319,33 +364,34 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             if trace:
                 bufs_ = bufs_._replace(
                     masks=jax.lax.dynamic_update_slice(
-                        bufs_.masks, masks[None], (blk, 0, 0, 0, 0)),
-                    dirs=bufs_.dirs.at[blk].set(dirs[0]))
+                        bufs_.masks, masks, (lch * K, 0, 0, 0, 0)),
+                    dirs=jax.lax.dynamic_update_slice(
+                        bufs_.dirs, dirs, (lch * K, 0)))
 
             # p-limit termination
             sc = sc.at[R_TERM].set(
-                sc[R_TERM] | (jnp.int32(blk * BLK + BLK - 1)
+                sc[R_TERM] | (jnp.int32(lch * SL + SL - 1)
                               >= plim).astype(jnp.int32))
-            return (S, Sp, E, F, ach, bch, sc, bufs_, blk + 1)
+            return (S, Sp, E, F, ach, bch, sc, bufs_, lch + 1)
 
-        def block_cond(state):
+        def launch_cond(state):
             sc = state[6]
-            blk = state[8]
-            return (~jnp.all(sc[R_TERM] > 0)) & (blk < max_blocks)
+            lch = state[8]
+            return (~jnp.all(sc[R_TERM] > 0)) & (lch < n_launch)
 
         state = (S, Sp, E, F, ach, bch, sc, bufs, jnp.int32(0))
-        state = jax.lax.while_loop(block_cond, block_body, state)
+        state = jax.lax.while_loop(launch_cond, launch_body, state)
         sc = state[6]
         bufs = state[7]
-        nblk = state[8]
+        nblk = state[8] * K
 
         res = FillResult(max_score=sc[R_GMAX], max_i=sc[R_GI],
                          max_j=sc[R_GJ], n_steps=sc[R_NSTEPS],
                          n_blocks=nblk)
         if trace:
             bufs = TraceBuffers(
-                masks=jnp.moveaxis(bufs.masks, 4, 0),
-                dirs=bufs.dirs.T, iheads=bufs.iheads.T,
+                masks=jnp.moveaxis(bufs.masks, 4, 0).view(jnp.uint32),
+                dirs=bufs.dirs.T.view(jnp.uint32), iheads=bufs.iheads.T,
                 rprevs=bufs.rprevs.T)
             return res, bufs
         return res

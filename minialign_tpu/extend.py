@@ -101,11 +101,21 @@ def revcomp_codes(c: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 class FillEngine:
-    """Shape-bucketed jitted fill executor."""
+    """Shape-bucketed jitted fill executor.
 
-    def __init__(self, score: ScoreParams, batch: int = 32):
+    Uses the Pallas TPU kernel on TPU backends and the XLA reference
+    fill elsewhere (CPU tests); both are bit-identical
+    (tests/test_pallas_fill.py)."""
+
+    def __init__(self, score: ScoreParams, batch: int | None = None,
+                 use_pallas: bool | None = None):
+        import jax
         self.p = score
-        self.batch = batch
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        self.batch = batch if batch is not None else \
+            (128 if use_pallas else 32)
         self._fns = {}
 
     @staticmethod
@@ -119,8 +129,14 @@ class FillEngine:
         nb = (la + lb + 2 * band.TAIL_N) // band.BLK + 2
         key = (W, la, lb, trace)
         if key not in self._fns:
-            self._fns[key] = band.make_fill(self.p, W, max_blocks=nb,
-                                            trace=trace)
+            if self.use_pallas:
+                from .dp.pallas_fill import make_fill_pallas
+                self._fns[key] = make_fill_pallas(self.p, W,
+                                                  max_blocks=nb,
+                                                  trace=trace)
+            else:
+                self._fns[key] = band.make_fill(self.p, W, max_blocks=nb,
+                                                trace=trace)
         return self._fns[key]
 
     def run(self, reqs: list) -> list:
