@@ -34,7 +34,7 @@ def main():
                                  for i in range(16)),
                     gi=4, ge=2, gfa=3, gfb=3, xdrop=50)  # -xpacbio scoring
 
-    B = int(os.environ.get("BENCH_B", "64"))
+    B = int(os.environ.get("BENCH_B", "128"))
     L = int(os.environ.get("BENCH_L", "20480"))
     rng = np.random.default_rng(0)
 
@@ -62,15 +62,16 @@ def main():
     ab_d, bb_d = jax.device_put(ab), jax.device_put(bb)
     alen_d, blen_d = jax.device_put(alen), jax.device_put(blen)
 
-    # warmup / compile
+    # warmup / compile (materialize to host: on tunneled backends
+    # block_until_ready does not guarantee completion)
     res = fill(ab_d, alen_d, bb_d, blen_d)
-    jax.block_until_ready(res)
+    np.asarray(res.max_score)
 
     runs = 3
     t0 = time.perf_counter()
     for _ in range(runs):
         res = fill(ab_d, alen_d, bb_d, blen_d)
-        jax.block_until_ready(res)
+        np.asarray(res.max_score)
     dt = (time.perf_counter() - t0) / runs
 
     n_steps = int(np.asarray(res.n_steps).sum())

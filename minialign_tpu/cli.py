@@ -21,8 +21,8 @@ from . import VERSION_STRING, __version__
 from .extend import FillEngine
 from .index.build import MMIndex, build_index
 from .io import bseq
-from .io.sam import PafWriter, SamWriter
-from .params import (FMT_PAF, FMT_SAM, MM_AVA, MM_COMP, MM_OMIT_REP,
+from .io.sam import Blast6Writer, MafWriter, PafWriter, SamWriter
+from .params import (FMT_BLAST6, FMT_MAF, FMT_PAF, FMT_SAM, MM_AVA, MM_COMP, MM_OMIT_REP,
                      IndexParams, MapParams, ScoreParams, TAG_AS, TAG_CG,
                      TAG_CO, TAG_ID, TAG_IH, TAG_MD, TAG_NH, TAG_NM, TAG_RG,
                      TAG_SA, TAG_SQ, TAG_XS)
@@ -62,7 +62,8 @@ _TAG_IDS = {"RG": TAG_RG, "CO": TAG_CO, "NH": TAG_NH, "IH": TAG_IH,
             "AS": TAG_AS, "XS": TAG_XS, "NM": TAG_NM, "SA": TAG_SA,
             "MD": TAG_MD, "CG": TAG_CG, "ID": TAG_ID, "SQ": TAG_SQ}
 
-_FORMATS = {"sam": FMT_SAM, "paf": FMT_PAF}
+_FORMATS = {"sam": FMT_SAM, "maf": FMT_MAF, "blast6": FMT_BLAST6,
+            "paf": FMT_PAF}
 
 
 @dataclasses.dataclass
@@ -334,12 +335,15 @@ def main(argv=None) -> int:
 
     # align mode
     mi = _load_or_build_index(o, o.args[0], ip)
-    writer_cls = {FMT_SAM: SamWriter, FMT_PAF: PafWriter}[o.fmt]
+    omit = bool(o.flag & MM_OMIT_REP)
     if o.fmt == FMT_SAM:
         wr = SamWriter(sys.stdout, tags=tuple(o.tags), rg_line=o.rg_line,
                        rg_id=o.rg_id, arg_line=o.arg_line,
-                       version=__version__,
-                       omit_rep=bool(o.flag & MM_OMIT_REP))
+                       version=__version__, omit_rep=omit)
+    elif o.fmt == FMT_MAF:
+        wr = MafWriter(sys.stdout, tags=tuple(o.tags), omit_rep=omit)
+    elif o.fmt == FMT_BLAST6:
+        wr = Blast6Writer(sys.stdout, tags=tuple(o.tags), omit_rep=omit)
     else:
         wr = PafWriter(sys.stdout, tags=tuple(o.tags))
     wr.header(mi.names, mi.lens)

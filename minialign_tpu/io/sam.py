@@ -262,3 +262,112 @@ class PafWriter:
             if TAG_NM in self.tags:
                 self.out.write(f"\tNM:i:{_nm(a)}")
             self.out.write("\n")
+
+
+def _pad_pair(n1: int, n2: int) -> tuple:
+    """Right-align two numbers to a common width with spaces (the
+    reference's _putpi pair formatter, minialign.c:4840-4866)."""
+    w = max(len(str(n1)), len(str(n2)))
+    return str(n1).rjust(w), str(n2).rjust(w)
+
+
+def _fixed(n: int, c: int) -> str:
+    """_putfi fixed-point print: integer n as n/10^c with c decimals."""
+    s = str(n).rjust(c + 1, "0")
+    return s[:-c] + "." + s[-c:]
+
+
+def gapped_pair(path: str, rcodes, qcodes) -> tuple:
+    """Gapped alignment rows for MAF (ref row, query row)."""
+    from .bseq import decode
+    r = decode(rcodes).decode()
+    q = decode(qcodes).decode()
+    ri = qi = 0
+    ro, qo = [], []
+    for c, op in cigar_ops(path):
+        if op == "M":
+            ro.append(r[ri:ri + c])
+            qo.append(q[qi:qi + c])
+            ri += c
+            qi += c
+        elif op == "D":
+            ro.append(r[ri:ri + c])
+            qo.append("-" * c)
+            ri += c
+        else:
+            ro.append("-" * c)
+            qo.append(q[qi:qi + c])
+            qi += c
+    return "".join(ro), "".join(qo)
+
+
+class MafWriter:
+    """MAF formatter (mm_print_maf_mapped, minialign.c:5429-5510)."""
+
+    def __init__(self, out, tags: tuple = (), omit_rep: bool = False):
+        self.out = out
+        self.omit_rep = omit_rep
+
+    def header(self, names, lens):
+        pass
+
+    def mapped(self, ref_names, ref_lens, ref_codes, seq, reg):
+        if reg is None:
+            return
+        import numpy as np
+        qlen = len(seq.codes)
+        n = reg.n_uniq if self.omit_rep else len(reg.alns)
+        for i in range(n):
+            a = reg.alns[i].aln
+            w = self.out.write
+            w(f"a score={a.score}\n")
+            rname, qname = ref_names[a.rid], seq.name
+            pad = max(len(rname), len(qname)) + 1
+            rs_s, qs_s = _pad_pair(a.as0, a.bs0)
+            al_s, bl_s = _pad_pair(a.ae - a.as0, a.be - a.bs0)
+            rl_s, ql_s = _pad_pair(int(ref_lens[a.rid]), qlen)
+            qdir = seq.codes if not a.rev else \
+                (3 - np.asarray(seq.codes)[::-1]).astype(np.int8)
+            rrow, qrow = gapped_pair(
+                a.path, np.asarray(ref_codes[a.rid][a.as0:a.ae]),
+                qdir[a.bs0:a.be])
+            w(f"s {rname.ljust(pad)}{rs_s} {al_s} + {rl_s} {rrow}\n")
+            w(f"s {qname.ljust(pad)}{qs_s} {bl_s} "
+              f"{'-' if a.rev else '+'} {ql_s} {qrow}\n\n")
+
+
+class Blast6Writer:
+    """BLAST outfmt-6 (mm_print_blast6_mapped, minialign.c:5517-5561)."""
+
+    def __init__(self, out, tags: tuple = (), omit_rep: bool = False):
+        self.out = out
+        self.omit_rep = omit_rep
+
+    def header(self, names, lens):
+        pass
+
+    def mapped(self, ref_names, ref_lens, ref_codes, seq, reg):
+        if reg is None:
+            return
+        qlen = len(seq.codes)
+        n = reg.n_uniq if self.omit_rep else len(reg.alns)
+        for i in range(n):
+            a = reg.alns[i].aln
+            dcnt = a.dcnt
+            mcnt = int(dcnt * a.identity)
+            gcnt = a.agcnt + a.bgcnt
+            slen = dcnt + gcnt
+            mid = int(1000.0 * a.identity)
+            # strand-dependent coordinate swap (minialign.c:5531-5533)
+            if not a.rev:
+                rs, re = a.as0 + 1, a.ae
+            else:
+                rs, re = a.ae, a.as0 + 1
+            qs, qe = a.bs0 + 1, a.be
+            bit = 1.85 * a.score - 0.02
+            ev = int(1000.0 * float(ref_lens[a.rid]) * qlen
+                     * (2.0 ** -bit))
+            self.out.write(
+                f"{seq.name}\t{ref_names[a.rid]}\t{_fixed(mid, 3)}\t"
+                f"{slen}\t{dcnt - mcnt}\t{gcnt}\t{qs}\t{qe}\t{rs}\t{re}\t"
+                f"{_fixed(ev, 3)}\t{int(bit)}\n")

@@ -139,3 +139,19 @@ def test_paf_byte_identical():
                     f"{DATA}/treads.fq"])
     want = open(f"{DATA}/ref_out.paf").read()
     assert got == want
+
+
+@pytest.mark.slow
+def test_maf_byte_identical():
+    got = _run_cli(["-t1", "-Omaf", f"{DATA}/tref.fa",
+                    f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_out.maf").read()
+    assert got == want
+
+
+@pytest.mark.slow
+def test_blast6_byte_identical():
+    got = _run_cli(["-t1", "-Oblast6", f"{DATA}/tref.fa",
+                    f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_out.b6").read()
+    assert got == want
