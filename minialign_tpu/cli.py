@@ -19,7 +19,7 @@ import numpy as np
 
 from . import VERSION_STRING, __version__
 from .extend import FillEngine
-from .index.build import MMIndex, build_index
+from .index.build import MMIndex, build_index, load_blocks, save_blocks
 from .io import bseq
 from .io.sam import Blast6Writer, MafWriter, PafWriter, SamWriter
 from .params import (FMT_BLAST6, FMT_MAF, FMT_PAF, FMT_SAM, MM_AVA, MM_COMP, MM_OMIT_REP,
@@ -167,11 +167,22 @@ def _set_tags(o: Opts, v: str):
 
 
 def _set_rg(o: Opts, v: str):
-    line = v.replace("\\t", "\t")
-    for field in line.split("\t"):
+    """mm_opt_rg (minialign.c:5898-5922). Note two reference quirks
+    kept: backslash + ANY char unescapes to a tab, and rg_id keeps the
+    `ID:` prefix (records print `RG:Z:ID:xxx`)."""
+    out, i = [], 0
+    while i < len(v):
+        if v[i] == "\\" and i + 1 < len(v):
+            out.append("\t")
+            i += 2
+        else:
+            out.append(v[i])
+            i += 1
+    line = "".join(out)
+    for field in line.replace("\r", "\t").replace("\n", "\t").split("\t"):
         if field.startswith("ID:"):
             o.rg_line = line
-            o.rg_id = field[3:]
+            o.rg_id = field
             o.tags.append(TAG_RG)
             return
     o.err("RG line must start with @RG and contain ID.")
@@ -299,12 +310,23 @@ def make_params(o: Opts):
     return ip, mp
 
 
-def _load_or_build_index(o: Opts, path: str, ip: IndexParams) -> MMIndex:
-    if path.endswith(".mai") or path.endswith(".mai.npz"):
-        return MMIndex.load(path if path.endswith(".npz")
-                            else path + ".npz")
-    seqs = list(bseq.read_seqs(path, min_len=o.min_len))
-    return build_index(ip, [s.name for s in seqs], [s.codes for s in seqs])
+def _is_mai(path: str) -> bool:
+    return path.endswith(".mai") or path.endswith(".mai.npz") \
+        or path.endswith(".npz")
+
+
+def _iter_index_blocks(o: Opts, refs: list, ip: IndexParams):
+    """Yield index blocks in the reference's main_align order
+    (minialign.c:6414-6436): a prebuilt .mai yields its stored blocks;
+    otherwise each reference file builds one block on the fly."""
+    if refs and _is_mai(refs[0]):
+        path = refs[0] if refs[0].endswith(".npz") else refs[0] + ".npz"
+        yield from load_blocks(path)
+        return
+    for path in refs:
+        seqs = list(bseq.read_seqs(path, min_len=o.min_len))
+        yield build_index(ip, [s.name for s in seqs],
+                          [s.codes for s in seqs])
 
 
 def main(argv=None) -> int:
@@ -323,18 +345,31 @@ def main(argv=None) -> int:
     ip, mp = make_params(o)
 
     if o.fnw is not None:
-        # index-build mode (main_index, minialign.c:6308)
+        # index-build mode (main_index, minialign.c:6308-6336): one
+        # block per positional file, appended into one index file
+        blocks = []
         for path in o.args:
-            mi = _load_or_build_index(o, path, ip)
-            out = o.fnw if o.fnw.endswith(".npz") else o.fnw + ".npz"
-            mi.save(out)
-            print(f"[M::main] index saved: {out} "
-                  f"({len(mi.keys)} keys, {len(mi.vals_pos)} positions)",
-                  file=sys.stderr)
+            seqs = list(bseq.read_seqs(path, min_len=o.min_len))
+            blocks.append(build_index(
+                ip, [s.name for s in seqs], [s.codes for s in seqs]))
+        out = o.fnw if o.fnw.endswith(".npz") else o.fnw + ".npz"
+        save_blocks(out, blocks)
+        print(f"[M::main] index saved: {out} ({len(blocks)} block(s))",
+              file=sys.stderr)
         return 0
 
-    # align mode
-    mi = _load_or_build_index(o, o.args[0], ip)
+    # align mode (main_align, minialign.c:6365-6446): rt = tail of
+    # reference-side args, qh = head of query-side args; all-vs-all
+    # without a prebuilt index maps every file against every file
+    rt, qh = 1, 1
+    if (o.flag & MM_AVA) and not _is_mai(o.args[0]):
+        rt, qh = len(o.args), 0
+    queries = o.args[qh:]
+    if not queries:
+        print("[M::main] query-side input redirected to stdin.",
+              file=sys.stderr)
+        queries = ["-"]
+
     omit = bool(o.flag & MM_OMIT_REP)
     if o.fmt == FMT_SAM:
         wr = SamWriter(sys.stdout, tags=tuple(o.tags), rg_line=o.rg_line,
@@ -346,19 +381,22 @@ def main(argv=None) -> int:
         wr = Blast6Writer(sys.stdout, tags=tuple(o.tags), omit_rep=omit)
     else:
         wr = PafWriter(sys.stdout, tags=tuple(o.tags))
-    wr.header(mi.names, mi.lens)
 
     engine = FillEngine(mp.score)
     n_reads = 0
-    for path in o.args[1:]:
-        for batch in bseq.read_batches(path, batch_size=o.batch_size,
-                                       keep_qual=o.keep_qual,
-                                       min_len=o.min_len):
-            regs = align_batch(mp, mi, [s.codes for s in batch], engine,
-                               base_qid=n_reads)
-            for s, reg in zip(batch, regs):
-                wr.mapped(mi.names, mi.lens, mi.codes, s, reg)
-            n_reads += len(batch)
+    for mi in _iter_index_blocks(o, o.args[:rt], ip):
+        # header per index block (mm_print_header inside the block
+        # loop, minialign.c:6425)
+        wr.header(mi.names, mi.lens)
+        for path in queries:
+            for batch in bseq.read_batches(path, batch_size=o.batch_size,
+                                           keep_qual=o.keep_qual,
+                                           min_len=o.min_len):
+                regs = align_batch(mp, mi, [s.codes for s in batch],
+                                   engine, base_qid=n_reads)
+                for s, reg in zip(batch, regs):
+                    wr.mapped(mi.names, mi.lens, mi.codes, s, reg)
+                n_reads += len(batch)
     print(f"[M::main] mapped {n_reads} reads in "
           f"{time.time() - t0:.1f} s", file=sys.stderr)
     return 0

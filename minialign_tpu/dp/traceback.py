@@ -54,9 +54,11 @@ def _identity(p: ScoreParams, score: int, dcnt: int, gap_penalty: int) -> float:
     gap_penalty argument must therefore be the ref-side total only."""
     if dcnt == 0:
         return 0.0
-    m, x = p.max_match, p.min_match
+    imx, xmx = p.imx_xmx
     dsc = score + gap_penalty
-    return (dsc / dcnt - x) / (m - x)
+    # op order matters for bit-equal trunc(dcnt*identity) downstream:
+    # (dsc/dlen)*imx - xmx with precomputed imx/xmx (gaba.c:3353)
+    return (dsc / dcnt) * imx - xmx
 
 
 def traceback_one(p: ScoreParams, W: int,

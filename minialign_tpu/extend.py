@@ -22,8 +22,8 @@ Semantic notes (all mirrored from the reference):
     the "contained in previous result" early-exit never fires; the
     observable behavior (narrow bump only) is replicated.
   * record() accumulates the res score as aln score plus a query-
-    coverage bonus 2*ovl*identity with uint32 wraparound on the first
-    record (minialign.c:4046-4049).
+    coverage bonus 2*ovl*identity (minialign.c:4041-4046), with the
+    release-build bin-init semantics (lb=0; see Bin docstring).
   * the upward-extension min-score test uses the global min_score
     (minialign.c:4149); the ratcheted st.min_score is written but
     never read in the reference — not carried here.
@@ -81,9 +81,16 @@ class Aln:
 
 @dataclasses.dataclass
 class Bin:
+    """mm_bin_t. lb/ub init note: the source (minialign.c:3855) writes
+    `.lb = UINT32_MAX` through a compound literal pushed as void**, a
+    strict-aliasing violation that gcc -O3 (the release build, and the
+    build behind every published benchmark and our golden files) elides
+    — the released binary runs with lb = 0, so ovl degenerates to
+    `be - min(ub, be)` and lb stays 0 forever. We match the release
+    binary (PARITY.md item 5)."""
     n_aln: int = 0
     plen: int = 0
-    lb: int = 0xFFFFFFFF
+    lb: int = 0
     ub: int = 0
     slot_idx: list = dataclasses.field(default_factory=list)
     mapq: int = 0

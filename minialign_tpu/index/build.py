@@ -74,33 +74,60 @@ class MMIndex:
                        - start, 0)
         return start.astype(np.int64), cnt.astype(np.int64)
 
+    def _arrays(self, prefix: str = "") -> dict:
+        d = {
+            "meta": np.asarray([self.k, self.w, len(self.occ)], np.int64),
+            "occ": self.occ, "frq": np.asarray(self.frq, np.float64),
+            "names": np.asarray(self.names, dtype=object),
+            "lens": self.lens, "circular": self.circular,
+            "keys": self.keys, "offsets": self.offsets,
+            "vals_pos": self.vals_pos, "vals_rid": self.vals_rid,
+        }
+        d.update({f"seq{i}": c for i, c in enumerate(self.codes)})
+        return {prefix + k: v for k, v in d.items()}
+
+    @classmethod
+    def _from_arrays(cls, z, prefix: str = "") -> "MMIndex":
+        meta = z[prefix + "meta"]
+        n_seq = len(z[prefix + "lens"])
+        return cls(
+            k=int(meta[0]), w=int(meta[1]),
+            occ=z[prefix + "occ"], frq=tuple(z[prefix + "frq"]),
+            names=list(z[prefix + "names"]), lens=z[prefix + "lens"],
+            circular=z[prefix + "circular"],
+            codes=[z[f"{prefix}seq{i}"] for i in range(n_seq)],
+            keys=z[prefix + "keys"], offsets=z[prefix + "offsets"],
+            vals_pos=z[prefix + "vals_pos"],
+            vals_rid=z[prefix + "vals_rid"],
+        )
+
     def save(self, path: str) -> None:
         """Serialize as a flat array bundle (.mai.npz — the reference's
         .mai role: minialign.c:3040-3169)."""
-        np.savez_compressed(
-            path,
-            meta=np.asarray([self.k, self.w, len(self.occ)], np.int64),
-            occ=self.occ, frq=np.asarray(self.frq, np.float64),
-            names=np.asarray(self.names, dtype=object),
-            lens=self.lens, circular=self.circular,
-            keys=self.keys, offsets=self.offsets,
-            vals_pos=self.vals_pos, vals_rid=self.vals_rid,
-            **{f"seq{i}": c for i, c in enumerate(self.codes)},
-        )
+        save_blocks(path, [self])
 
     @classmethod
     def load(cls, path: str) -> "MMIndex":
-        z = np.load(path, allow_pickle=True)
-        meta = z["meta"]
-        n_seq = len(z["lens"])
-        return cls(
-            k=int(meta[0]), w=int(meta[1]),
-            occ=z["occ"], frq=tuple(z["frq"]),
-            names=list(z["names"]), lens=z["lens"], circular=z["circular"],
-            codes=[z[f"seq{i}"] for i in range(n_seq)],
-            keys=z["keys"], offsets=z["offsets"],
-            vals_pos=z["vals_pos"], vals_rid=z["vals_rid"],
-        )
+        return load_blocks(path)[0]
+
+
+def save_blocks(path: str, blocks: list) -> None:
+    """Serialize a multi-block index file: the reference's main_index
+    appends one mm_idx_dump blob per positional file into one .mai
+    (minialign.c:6308-6336); here one npz holds b{j}_-prefixed array
+    bundles."""
+    d = {"n_blocks": np.asarray([len(blocks)], np.int64)}
+    for j, mi in enumerate(blocks):
+        d.update(mi._arrays(prefix=f"b{j}_"))
+    np.savez_compressed(path, **d)
+
+
+def load_blocks(path: str) -> list:
+    z = np.load(path, allow_pickle=True)
+    if "n_blocks" not in z:            # legacy single-block file
+        return [MMIndex._from_arrays(z)]
+    return [MMIndex._from_arrays(z, prefix=f"b{j}_")
+            for j in range(int(z["n_blocks"][0]))]
 
 
 def build_index(params: IndexParams, names: Sequence[str],

@@ -57,6 +57,15 @@ def decode(codes: np.ndarray, rev: bool = False) -> bytes:
 
 
 def _open(path: str):
+    """Open FASTA/FASTQ(.gz); '-' reads stdin (main_align pours stdin to
+    the query side when no query file is given, minialign.c:6380-6384)."""
+    if path == "-":
+        import io as _io
+        import sys
+        data = sys.stdin.buffer.read()
+        if data[:2] == b"\x1f\x8b":
+            return gzip.open(_io.BytesIO(data), "rb")
+        return _io.BytesIO(data)
     f = open(path, "rb")
     head = f.read(2)
     f.seek(0)

@@ -63,6 +63,17 @@ class ScoreParams:
         return min(self.matrix)
 
     @property
+    def imx_xmx(self) -> tuple:
+        """Identity-estimate constants (gaba.c:3794-3828): m = mean of
+        the 4 diagonal matrix entries, x = mean of the 12 off-diagonal;
+        imx = 1/(m-x), xmx = x/(m-x), precomputed as doubles so the
+        identity op order `(dsc/dlen)*imx - xmx` matches bit-for-bit."""
+        diag = sum(self.matrix[i] for i in range(16) if (i & 3) == (i >> 2))
+        off = sum(self.matrix[i] for i in range(16) if (i & 3) != (i >> 2))
+        m, x = diag / 4.0, off / 12.0
+        return 1.0 / (m - x), x / (m - x)
+
+    @property
     def mcoef(self) -> float:
         """Match coefficient used for chain-length score estimates and mapq.
 

@@ -15,8 +15,14 @@ from .extend import Bin
 from .params import MAPQ_COEF, MapParams
 
 
+OFS = 0x40000000
+
+
 def _clip(x: float) -> int:
-    if math.isnan(x):
+    """_clip (minialign.c:4177): MAX2(0, MIN2((uint32_t)(x), 960)).
+    (uint32_t) of NaN / negative / huge doubles on x86-64 (cvttsd2si)
+    yields 0x80000000, which MIN2 clips to 960 — replicate that."""
+    if math.isnan(x) or x >= 2**63 or x < 0 or int(x) >= 2**32:
         return 60 * MAPQ_COEF
     return max(0, min(int(x), 60 * MAPQ_COEF))
 
@@ -100,7 +106,11 @@ def post_map(mp: MapParams, res: list, slots: list) -> int:
     tpe = min(1.0 - tpc, 1.0)
     for i in range(p, len(res)):
         sc, bin_ = res[i]
-        frac = tpe * (sc - lsc + 1) / tsc if tsc else 0.0
+        # the reference mixes score spaces here (minialign.c:4322):
+        # res[i].score is the OFFSETTED uint32 (0x40000000 - acc) while
+        # lsc/tsc are real; replicated verbatim for mapq byte equality
+        sc_ofs = (OFS - sc) & 0xFFFFFFFF
+        frac = tpe * float(sc_ofs - lsc + 1) / float(tsc) if tsc else 0.0
         v = 1.0 - frac
         bin_.mapq = _clip(-10.0 * MAPQ_COEF * math.log10(v)) if v > 0 \
             else 60 * MAPQ_COEF

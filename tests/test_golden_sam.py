@@ -155,3 +155,41 @@ def test_blast6_byte_identical():
                     f"{DATA}/treads.fq"])
     want = open(f"{DATA}/ref_out.b6").read()
     assert got == want
+
+
+@pytest.mark.slow
+def test_ava_paf_byte_identical():
+    """All-vs-all driver mode (-X): every positional file is indexed
+    and every file is mapped against every index
+    (minialign.c:6377-6378). PAF carries no header, so this golden is
+    fully byte-exact."""
+    got = _run_cli(["-t1", "-X", "-xava", "-Opaf", f"{DATA}/treads.fa",
+                    f"{DATA}/treads2.fq"])
+    want = open(f"{DATA}/ref_ava.paf").read()
+    assert got == want
+
+
+@pytest.mark.slow
+def test_ava_sam_byte_identical():
+    """AVA SAM needs -R: the reference ORs MM_AVA (bit 0) into the
+    printer tag flags where it aliases the MM_RG bit
+    (minialign.c:5679), so -X without -R segfaults the reference on a
+    NULL rg_line; with -R both emit the @RG line + RG:Z tags."""
+    got = _run_cli(["-t1", "-X", "-xava", "-R", "@RG\\tID:ava",
+                    f"{DATA}/treads.fa", f"{DATA}/treads2.fq"])
+    want = open(f"{DATA}/ref_ava_rg.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_multiblock_index_byte_identical(tmp_path):
+    """A prebuilt index holding multiple blocks maps the query against
+    each block in sequence, re-printing the header per block
+    (minialign.c:6414-6436)."""
+    mai = str(tmp_path / "two.mai")
+    rc = __import__("minialign_tpu.cli", fromlist=["main"]).main(
+        ["-t1", "-d", mai, f"{DATA}/tref.fa", f"{DATA}/tref.fa"])
+    assert rc == 0
+    got = _run_cli(["-t1", mai, f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_twoblock.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
