@@ -143,11 +143,15 @@ class Chain:
     leaf_sid: int        # first (leftmost) seed of the chain
 
 
-def chain_seeds(seeds: np.ndarray, twlen: int) -> list[Chain]:
+def chain_seeds(seeds: np.ndarray, twlen: int,
+                lens: np.ndarray | None = None,
+                circular: np.ndarray | None = None) -> list[Chain]:
     """mm_chain_seeds (minialign.c:3547-3625). seeds: (n, 3) int64 of
     [upos, rid, vpos] sorted by (rid, upos). Returns chains sorted by
     plen descending (radix_sort_64x of offsetted plen ascending,
-    minialign.c:3718)."""
+    minialign.c:3718). When lens/circular are given, chains whose tail
+    reaches near the end of a circular reference are stitched to chains
+    starting at its origin (mm_circularize, minialign.c:3632-3695)."""
     n = len(seeds)
     up, rid, vp = seeds[:, 0], seeds[:, 1], seeds[:, 2]
     lid_of = np.full(n, -1, np.int64)       # seed -> owning leaf
@@ -237,7 +241,70 @@ def chain_seeds(seeds: np.ndarray, twlen: int) -> list[Chain]:
         if plen > chains[cid][0]:
             chains[cid] = [plen, lid]
 
+    if circular is not None and len(chains) and np.any(circular):
+        _circularize(seeds, leaves, chains, twlen, lens, circular)
+
     out = [Chain(plen=c[0], root_sid=leaves[c[1]][0],
-                 leaf_sid=leaves[c[1]][1]) for c in chains]
+                 leaf_sid=leaves[c[1]][1]) for c in chains if c[0] >= 0]
     out.sort(key=lambda c: -c.plen)
     return out
+
+
+def _circularize(seeds, leaves, chains, twlen, lens, circular):
+    """mm_circularize (minialign.c:3632-3695): for each chain whose
+    root (tail) seed lies within twlen of the end of a circular
+    reference, find the best chain whose leaf (head) seed — viewed
+    shifted one full reference length forward — falls inside the
+    standard parallelogram window of that root; merge the pair by
+    propagating the leaf chain's root seed and score into the root
+    chain and marking the leaf chain consumed (plen := -1 here, the
+    0x80000000 mark in the reference)."""
+    up, rid_a, vp = seeds[:, 0], seeds[:, 1], seeds[:, 2]
+    blid, tlid = 0, len(leaves)
+
+    for rcid in range(len(chains)):
+        rlid = chains[rcid][1]
+        rsid = leaves[rlid][0]
+        rid = leaves[rlid][2]
+        rlen = int(lens[rid])
+        # root seed must be within twlen of the circular ref's end
+        x0 = coords_to_xy(up[rsid], vp[rsid])[0]
+        if not circular[rid] or rlen - x0 > twlen:
+            continue
+        uofs, vofs = 2 * rlen, -rlen            # _ud/_vd(rlen, 0)
+        v0, u0 = int(vp[rsid]), int(up[rsid])
+        vlb, vub = v0 - vofs, v0 - vofs + twlen
+        uub = u0 + twlen - uofs
+
+        # forward the shared leaf pointer (minialign.c:3652-3661)
+        while blid < tlid and rid_a[leaves[blid][1]] < rid:
+            blid += 1
+        while blid < tlid and vp[leaves[blid][1]] > vub:
+            blid += 1
+
+        # match root to leaf: largest live leaf-chain plen, tie -> lowest lid
+        best = None                             # (-plen, lid)
+        for lid in range(blid, tlid):
+            lsid = leaves[lid][1]
+            lv, lu, lr = int(vp[lsid]), int(up[lsid]), int(rid_a[lsid])
+            if not (lv > vlb and lv <= vub and lr <= rid and lu <= uub):
+                continue
+            cid = leaves[lid][3]
+            if cid == -1 or chains[cid][0] < 0:
+                continue
+            key = (-chains[cid][0], lid)
+            if best is None or key < best:
+                best = key
+        if best is None:
+            continue
+        pdiff, llid = -best[0], best[1]
+        lcid = leaves[llid][3]
+
+        # fixup leaf-side chain, then root-side chain + leaf bins
+        # (reference order: mark first, then adjust — a self-merge
+        # stays marked/consumed, minialign.c:3688-3693)
+        chains[lcid][1] = rlid
+        chains[lcid][0] = -1                    # consumed mark
+        if lcid != rcid:
+            chains[rcid][0] += pdiff
+        leaves[rlid][0] = leaves[llid][0]       # propagate root seed

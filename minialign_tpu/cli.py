@@ -251,39 +251,39 @@ _OPTS = {
 
 
 def parse_argv(o: Opts, argv: list):
+    """mm_opt_parse_argv (minialign.c:5771-5790): boolean options are
+    eaten per char; the first non-boolean char takes the rest of the
+    token as its argument, or the NEXT positional-looking token — for
+    required AND optional types alike (so `-c name` consumes `name`)."""
+    def _isarg(s):
+        return not s.startswith("-") or len(s) == 1
+
     i = 0
     while i < len(argv):
         arg = argv[i]
-        if not arg.startswith("-") or arg == "-":
+        if _isarg(arg):
             o.args.append(arg)
             i += 1
             continue
         j = 1
-        while j < len(arg):
+        while j < len(arg) and arg[j] in _OPTS and _OPTS[arg[j]][0] == 0:
+            _OPTS[arg[j]][1](o, None)
+            j += 1
+        if j < len(arg):
             ch = arg[j]
             if ch not in _OPTS:
-                o.err(f"unknown option `{ch}'.")
-                j += 1
-                continue
-            kind, fn = _OPTS[ch]
-            if kind == 0:
-                fn(o, None)
-                j += 1
-                continue
-            val = arg[j + 1:]
-            if val:
-                fn(o, val)
-                j = len(arg)
-            elif kind == 1:
-                i += 1
-                if i >= len(argv):
-                    o.err(f"option `{ch}' requires an argument.")
-                else:
-                    fn(o, argv[i])
-                j = len(arg)
+                o.err(f"unknown option `-{ch}'.")
             else:
-                fn(o, None)
-                j = len(arg)
+                kind, fn = _OPTS[ch]
+                val = arg[j + 1:] or None
+                if val is None and i + 1 < len(argv) \
+                        and _isarg(argv[i + 1]):
+                    i += 1
+                    val = argv[i]
+                if kind == 1 and val is None:
+                    o.err(f"missing argument for option `-{ch}'.")
+                else:
+                    fn(o, val)
         i += 1
     return o
 

@@ -60,11 +60,24 @@ def _poskey(apos: int, bpos: int, rid: int, qid: int) -> int:
 
 
 @dataclasses.dataclass
+class Seg:
+    """One gaba_path_section_t-equivalent: a piece of an alignment
+    lying within a single pass over the reference (alignments on
+    circular references split at the origin; gaba.c:2862
+    trace_push_segment). Coordinates are mod-rlen on the ref side."""
+    as0: int
+    ae: int
+    bs0: int
+    be: int
+    path: str
+
+
+@dataclasses.dataclass
 class Aln:
     rid: int
     rev: int
-    as0: int               # ref start (forward coords)
-    ae: int                # ref end
+    as0: int               # head-segment ref start (forward, mod coords)
+    ae: int                # tail-segment ref end (mod coords)
     bs0: int               # query start (strand space)
     be: int                # query end (strand space)
     score: int
@@ -73,10 +86,42 @@ class Aln:
     dcnt: int
     agcnt: int
     bgcnt: int
+    segs: list = None      # [Seg] head-to-tail; None -> single segment
+
+    def __post_init__(self):
+        if self.segs is None:
+            self.segs = [Seg(self.as0, self.ae, self.bs0, self.be,
+                             self.path)]
 
     @property
     def plen(self) -> int:
         return len(self.path)
+
+    @property
+    def slen(self) -> int:
+        return len(self.segs)
+
+
+def split_segments(as0_u: int, bs0: int, path: str, rlen: int) -> list:
+    """Split a (possibly origin-wrapping) alignment into per-pass
+    segments. as0_u is the unwrapped ref start (negative when the
+    alignment began before the origin of the final pass); the split
+    points are the multiples of rlen crossed by the ref walk."""
+    segs = []
+    seg_a0, seg_b0, start = as0_u, bs0, 0
+    apos, bpos = as0_u, bs0
+    for i, ch in enumerate(path):
+        if ch == "R":
+            apos += 1
+            if apos % rlen == 0 and i + 1 < len(path):
+                segs.append(Seg(seg_a0 % rlen, ((apos - 1) % rlen) + 1,
+                                seg_b0, bpos, path[start:i + 1]))
+                seg_a0, seg_b0, start = apos, bpos, i + 1
+        else:
+            bpos += 1
+    segs.append(Seg(seg_a0 % rlen, ((apos - 1) % rlen) + 1, seg_b0, bpos,
+                    path[start:]))
+    return segs
 
 
 @dataclasses.dataclass
@@ -197,8 +242,13 @@ class FillEngine:
 # per-read extension task
 # ---------------------------------------------------------------------------
 
-def _slice_a(codes: np.ndarray, start: int, brem: int, W: int) -> np.ndarray:
+def _slice_a(codes: np.ndarray, start: int, brem: int, W: int,
+             circ: bool = False) -> np.ndarray:
     cap = 2 * brem + 4 * W + 2 * band.TAIL_N + 64
+    if circ:
+        # circular section re-feed (rtp, minialign.c:3753): the same
+        # ref section is fed again past its end, i.e. codes[pos % len]
+        return np.take(codes, np.arange(start, start + cap), mode="wrap")
     return codes[start:start + cap]
 
 
@@ -297,7 +347,8 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int):
         seeds = seed_round(mi, st_seed, rnd)
         if seeds is None or len(seeds) == 0:
             continue
-        chains = chain_seeds(seeds, twlen)
+        chains = chain_seeds(seeds, twlen, lens=mi.lens,
+                             circular=mi.circular)
         if not chains:
             continue
 
@@ -311,6 +362,7 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int):
             rcodes = np.asarray(mi.codes[rid], np.int8)
             rrev = revcomp_codes(rcodes)
             rlen = int(mi.lens[rid])
+            circ = bool(mi.circular[rid])
             apos = x
             bpos = y + (qlen if y < 0 else 0)
             if apos >= rlen or bpos >= qlen:
@@ -334,12 +386,16 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int):
                 qdir = qrc[st.rev]
 
                 # ---- downward extension
-                a = _slice_a(rcodes, st.cp[0], qlen - st.cp[1], W)
+                a = _slice_a(rcodes, st.cp[0], qlen - st.cp[1], W, circ)
                 b = qdir[st.cp[1]:]
                 sc, mi_, mj_, _ = yield ("down", a, b, W)
                 if sc == 0:
                     continue
                 ae, be = st.cp[0] + mi_, st.cp[1] + mj_
+                if circ and ae > rlen:
+                    # gaba reports the max within the re-fed section;
+                    # fold the unwrapped end back (pos in (0, rlen])
+                    ae = ((ae - 1) % rlen) + 1
                 # test_dup (minialign.c:3953-3994), clip to [1, len]
                 st.tp = (min(max(ae, 1), rlen), min(max(be, 1), qlen))
                 k = _poskey(ae, be, rid, qid)
@@ -351,18 +407,21 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int):
 
                 # ---- upward extension on reversed sequences
                 W0 = WIDTHS[0]
-                au = _slice_a(rrev, rlen - st.tp[0], st.tp[1], W0)
+                au = _slice_a(rrev, rlen - st.tp[0], st.tp[1], W0, circ)
                 bu = revcomp_codes(qdir)[qlen - st.tp[1]:]
                 usc, umi, umj, tr = yield ("up", au, bu, W0)
                 if usc < mp.min_score or tr is None:
                     continue
 
                 ae, be = st.tp
-                as0, bs0 = ae - umi, be - umj
+                as0_u, bs0 = ae - umi, be - umj
+                segs = split_segments(as0_u, bs0, tr.path_rev, rlen) \
+                    if (circ and as0_u < 0) else None
+                as0 = segs[0].as0 if segs else as0_u
                 aln = Aln(rid=rid, rev=st.rev, as0=as0, ae=ae,
                           bs0=bs0, be=be, score=usc, path=tr.path_rev,
                           identity=tr.identity, dcnt=tr.dcnt,
-                          agcnt=tr.agcnt, bgcnt=tr.bgcnt)
+                          agcnt=tr.agcnt, bgcnt=tr.bgcnt, segs=segs)
 
                 # ---- record (minialign.c:4018-4067)
                 st.cp = (as0, bs0)

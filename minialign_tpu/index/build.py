@@ -141,9 +141,17 @@ def build_index(params: IndexParams, names: Sequence[str],
 
     hs, ps, rs = [], [], []
     for sid, c in enumerate(codes):
-        h, pos, strand = sketch(np.asarray(c, np.int64) & 3, k, w)
-        # TODO(circular): wrap the sketch over the origin for circular
-        # refs (mm_sketch_cap, minialign.c:2436-2443)
+        arr = np.asarray(c, np.int64) & 3
+        if circ[sid]:
+            # circular "nori-shiro" tail wrap (mm_sketch_cap,
+            # minialign.c:2436-2443 via mm_idx_worker:2795-2797): the
+            # sketch state machine is fed min(len, w) more bases from
+            # the sequence head, which equals sketching the extended
+            # stream seq + seq[:min(len, w)]; emitted positions
+            # continue past len (handled by mm_search_load_pos's
+            # over-end adjustment on the query side)
+            arr = np.concatenate([arr, arr[:min(len(arr), w)]])
+        h, pos, strand = sketch(arr, k, w)
         hs.append(h)
         ps.append(pos.astype(np.uint32))
         rs.append(((sid << 1) | strand.astype(np.uint32)).astype(np.uint32))

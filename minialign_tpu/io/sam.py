@@ -133,36 +133,37 @@ class SamWriter:
             self.out.write(f"\tCO:Z:{seq.comment}")
 
     def mapped(self, ref_names, ref_lens, ref_codes, seq, reg):
+        """mm_print_sam_mapped (minialign.c:5390-5426): per alignment,
+        one record per path segment (head first; circular-origin splits
+        produce several), flag 0x800 after the first primary record,
+        0x100 for every secondary-alignment record."""
         if reg is None:
             self.unmapped(seq)
             return
-        qlen = len(seq.codes)
         n = reg.n_uniq if self.omit_rep else len(reg.alns)
-        sa_printed = False
+        flag = 0
         for i in range(n):
             ra = reg.alns[i]
             a = ra.aln
-            if i == 0:
-                flag = 0
-            elif i < reg.n_uniq:
-                flag = 0x800
-            else:
+            if i >= reg.n_uniq:
                 flag = 0x100
-            self._record(ref_names, ref_lens, ref_codes, seq, reg, a,
-                         ra.mapq, flag, i, len(reg.alns))
-            if i == 0 and TAG_SA in self.tags and \
-                    (reg.n_uniq > 1):
-                sa_printed = True
-            self.out.write("\n")
-            if sa_printed:
-                break
+            for j, s in enumerate(a.segs):
+                self._record(ref_names, ref_lens, ref_codes, seq, reg,
+                             a, s, ra.mapq, flag, i, len(reg.alns))
+                if i == 0 and j == 0:
+                    flag = 0x800
+                    if self._primary_tags(ref_names, seq, reg):
+                        self.out.write("\n")
+                        return          # SA replaces supp records
+                self.out.write("\n")
+            flag = 0x800
 
     def _record(self, ref_names, ref_lens, ref_codes, seq, reg, a: Aln,
-                mapq, flag, idx, n_reg):
+                s, mapq, flag, idx, n_reg):
         w = self.out.write
         qlen = len(seq.codes)
         flag |= 0x10 if a.rev else 0
-        hl, tl = a.bs0, qlen - a.be
+        hl, tl = s.bs0, qlen - s.be
         hard = bool(flag & 0x900)
         qs = hl if hard else 0
         qe = qlen - (tl if hard else 0)
@@ -171,11 +172,10 @@ class SamWriter:
         cig = []
         if hl:
             cig.append(f"{hl}{clip}")
-        cig.append(cigar_string(a.path))
+        cig.append(cigar_string(s.path))
         if tl:
             cig.append(f"{tl}{clip}")
 
-        qcodes = seq.codes if not a.rev else None
         if a.rev:
             sseq = decode(seq.codes[::-1][qs:qe][::-1], rev=True).decode()
         else:
@@ -187,10 +187,11 @@ class SamWriter:
         else:
             qual = "*"
 
-        w(f"{seq.name}\t{flag}\t{ref_names[a.rid]}\t{a.as0 + 1}\t"
+        w(f"{seq.name}\t{flag}\t{ref_names[a.rid]}\t{s.as0 + 1}\t"
           f"{mapq >> 4}\t{''.join(cig)}\t*\t0\t0\t{sseq}\t{qual}")
 
-        # general tags (minialign.c:5304-5340)
+        # general tags (minialign.c:5304-5340) — per alignment, so
+        # AS/NM repeat unchanged on split-segment records
         if TAG_RG in self.tags and self.rg_id:
             w(f"\tRG:Z:{self.rg_id}")
         if TAG_NH in self.tags:
@@ -202,31 +203,46 @@ class SamWriter:
         if TAG_NM in self.tags:
             w(f"\tNM:i:{_nm(a)}")
         if TAG_MD in self.tags:
-            rsl = np.asarray(ref_codes[a.rid][a.as0:a.ae])
+            rsl = np.asarray(ref_codes[a.rid][s.as0:s.ae])
             qdir = seq.codes if not a.rev else \
                 (3 - seq.codes[::-1]).astype(np.int8)
-            w("\tMD:Z:" + md_tag(a.path, rsl, qdir[a.bs0:a.be]))
-        if idx == 0:
-            if TAG_XS in self.tags:
-                xs = reg.alns[1].aln.score if len(reg.alns) > 1 else 0
-                w(f"\tXS:i:{xs}")
-            if TAG_SA in self.tags and reg.n_uniq > 1:
-                w("\tSA:Z:")
-                for k in range(reg.n_uniq):
-                    if k == 0:
+            w("\tMD:Z:" + md_tag(s.path, rsl, qdir[s.bs0:s.be]))
+
+    def _primary_tags(self, ref_names, seq, reg) -> bool:
+        """mm_print_sam_primary_tags (minialign.c:5348-5384); returns
+        True if the SA tag was printed (supp records then omitted)."""
+        w = self.out.write
+        qlen = len(seq.codes)
+        if TAG_XS in self.tags:
+            xs = reg.alns[1].aln.score if len(reg.alns) > 1 else 0
+            w(f"\tXS:i:{xs}")
+        ret = False
+        if TAG_SA in self.tags and (reg.n_uniq > 1
+                                    or reg.alns[0].aln.slen > 1):
+            w("\tSA:Z:")
+            for k in range(reg.n_uniq):
+                ra = reg.alns[k]
+                sa = ra.aln
+                nm = _nm(sa)
+                for j, s in enumerate(sa.segs):
+                    if k == 0 and j == 0:
                         continue
-                    s = reg.alns[k]
-                    sa = s.aln
-                    shl, stl = sa.bs0, qlen - sa.be
+                    shl, stl = s.bs0, qlen - s.be
                     parts = []
                     if shl:
                         parts.append(f"{shl}H")
-                    parts.append(cigar_string(sa.path))
+                    parts.append(cigar_string(s.path))
                     if stl:
                         parts.append(f"{stl}H")
-                    w(f"{ref_names[sa.rid]},{sa.as0 + 1},"
+                    # SA's mapq is printed RAW (x16: mm_print_sam_supp
+                    # at minialign.c:5230 receives mm_aln_t.mapq which
+                    # mm_pack_reg fills with bin->plen, the unshifted
+                    # fixed-point value — 60 prints as 960)
+                    w(f"{ref_names[sa.rid]},{s.as0 + 1},"
                       f"{'+' if not sa.rev else '-'},{''.join(parts)},"
-                      f"{s.mapq >> 4},{_nm(sa)};")
+                      f"{ra.mapq},{nm};")
+            ret = True
+        return ret
 
 
 class PafWriter:
@@ -328,9 +344,11 @@ class MafWriter:
             rl_s, ql_s = _pad_pair(int(ref_lens[a.rid]), qlen)
             qdir = seq.codes if not a.rev else \
                 (3 - np.asarray(seq.codes)[::-1]).astype(np.int8)
-            rrow, qrow = gapped_pair(
-                a.path, np.asarray(ref_codes[a.rid][a.as0:a.ae]),
-                qdir[a.bs0:a.be])
+            rlen_i = int(ref_lens[a.rid])
+            nr = a.path.count("R")
+            rsl = np.take(np.asarray(ref_codes[a.rid]),
+                          (a.as0 + np.arange(nr)) % rlen_i)
+            rrow, qrow = gapped_pair(a.path, rsl, qdir[a.bs0:a.be])
             w(f"s {rname.ljust(pad)}{rs_s} {al_s} + {rl_s} {rrow}\n")
             w(f"s {qname.ljust(pad)}{qs_s} {bl_s} "
               f"{'-' if a.rev else '+'} {ql_s} {qrow}\n\n")

@@ -193,3 +193,37 @@ def test_multiblock_index_byte_identical(tmp_path):
     got = _run_cli(["-t1", mai, f"{DATA}/treads.fq"])
     want = open(f"{DATA}/ref_twoblock.sam").read()
     assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_circular_sam_byte_identical():
+    """Circular reference (-c NAME): origin-spanning alignments split
+    at the wrap into primary + supplementary (0x800) records
+    (mm_sketch_cap / mm_circularize / rtp re-feed)."""
+    got = _run_cli(["-t1", "-cplasmid", f"{DATA}/cplas.fa",
+                    f"{DATA}/creads.fq"])
+    want = open(f"{DATA}/ref_circ.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_circular_paf_byte_identical():
+    got = _run_cli(["-t1", "-Opaf", "-cplasmid", f"{DATA}/cplas.fa",
+                    f"{DATA}/creads.fq"])
+    want = open(f"{DATA}/ref_circ.paf").read()
+    assert got == want
+
+
+@pytest.mark.slow
+def test_circular_tags_sam_byte_identical():
+    """All tags on circular data, incl. SA across origin-split
+    segments (raw x16 mapq in SA, minialign.c:5230). MD on reverse
+    strand carries the reference bug (PARITY.md item 1) — stripped."""
+    got = _run_cli(["-t1", "-cplasmid", "-TAS,NM,MD,SA,XS,NH,IH",
+                    f"{DATA}/cplas.fa", f"{DATA}/creads.fq"])
+    want = open(f"{DATA}/ref_circ_tags.sam").read()
+    got_l, want_l = _strip_pg(got), _strip_pg(want)
+    assert _strip_md(got_l) == _strip_md(want_l)
+    for g, w in zip(got_l, want_l):
+        if not g.startswith("@") and int(g.split("\t")[1]) & 0x10 == 0:
+            assert g == w
