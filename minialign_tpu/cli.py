@@ -76,6 +76,7 @@ class Opts:
     fnw: str | None = None
     fmt: int = FMT_SAM
     tags: list = dataclasses.field(default_factory=list)
+    tag_names: list = dataclasses.field(default_factory=list)
     rg_line: str | None = None
     rg_id: str = ""
     flag: int = 0
@@ -159,11 +160,16 @@ def _set_frq(o: Opts, v: str):
 
 
 def _set_tags(o: Opts, v: str):
+    """mm_opt_tags (minialign.c:5928-5948): any 2-char name is kept in
+    the preserve list (input tag passthrough); known names also set
+    output-tag flags."""
     for t in _split(v):
+        if len(t) != 2:
+            o.err(f"unknown tag: `{t}'.")
+            continue
+        o.tag_names.append(t)
         if t in _TAG_IDS:
             o.tags.append(_TAG_IDS[t])
-        else:
-            o.err(f"unknown tag: `{t}'.")
 
 
 def _set_rg(o: Opts, v: str):
@@ -391,7 +397,8 @@ def main(argv=None) -> int:
         for path in queries:
             for batch in bseq.read_batches(path, batch_size=o.batch_size,
                                            keep_qual=o.keep_qual,
-                                           min_len=o.min_len):
+                                           min_len=o.min_len,
+                                           tags=tuple(o.tag_names)):
                 regs = align_batch(mp, mi, [s.codes for s in batch],
                                    engine, base_qid=n_reads)
                 for s, reg in zip(batch, regs):

@@ -33,6 +33,9 @@ class Seq:
     comment: str
     codes: np.ndarray      # (L,) int8 2-bit codes
     qual: bytes            # b"" if absent/dropped
+    tags: list = dataclasses.field(default_factory=list)
+    # saved SAM tags, pre-rendered ("RG:Z:x"); filtered by the -T list
+    # at read time like bseq_save_tags (minialign.c:1832-1878)
 
 
 _ENC = np.zeros(256, np.int8)
@@ -75,18 +78,25 @@ def _open(path: str):
 
 
 def read_seqs(path: str, keep_qual: bool = False, min_len: int = 1,
-              keep_comment: bool = False):
-    """Iterate Seq records from a FASTA/FASTQ(.gz) file."""
+              keep_comment: bool = False, tags: tuple = ()):
+    """Iterate Seq records from a FASTA/FASTQ/BAM(.gz) file. `tags` is
+    the -T preserve list (2-char names); 'CO' keeps FASTA/Q comments
+    (minialign.c:1801)."""
+    keep_comment = keep_comment or ("CO" in tags)
     with _open(path) as f:
         first = f.peek(1)[:1] if hasattr(f, "peek") else b""
         data = f.read()
     if not data:
         return
+    if data[:4] == b"BAM\x01":
+        yield from _parse_bam(data, keep_qual, min_len, tags)
+        return
     is_fastq = data.lstrip()[:1] == b"@"
     if is_fastq:
-        yield from _parse_fastq(data, keep_qual, min_len, keep_comment)
+        yield from _parse_fastq(data, keep_qual, min_len, keep_comment,
+                                tags)
     else:
-        yield from _parse_fasta(data, min_len, keep_comment)
+        yield from _parse_fasta(data, min_len, keep_comment, tags)
 
 
 def _split_header(line: bytes):
@@ -98,7 +108,14 @@ def _split_header(line: bytes):
     return line[:sp].decode(), line[sp + 1:].decode()
 
 
-def _parse_fasta(data: bytes, min_len: int, keep_comment: bool):
+def _comment_tags(comment: str, keep_comment: bool, tags: tuple) -> list:
+    if keep_comment and "CO" in tags and comment:
+        return [f"CO:Z:{comment}"]
+    return []
+
+
+def _parse_fasta(data: bytes, min_len: int, keep_comment: bool,
+                 tags: tuple = ()):
     recs = data.split(b"\n>")
     for i, rec in enumerate(recs):
         if i == 0:
@@ -114,11 +131,12 @@ def _parse_fasta(data: bytes, min_len: int, keep_comment: bool):
         if len(seq) < min_len:
             continue
         yield Seq(name=name, comment=comment if keep_comment else "",
-                  codes=encode(seq), qual=b"")
+                  codes=encode(seq), qual=b"",
+                  tags=_comment_tags(comment, keep_comment, tags))
 
 
 def _parse_fastq(data: bytes, keep_qual: bool, min_len: int,
-                 keep_comment: bool):
+                 keep_comment: bool, tags: tuple = ()):
     lines = data.split(b"\n")
     i = 0
     n = len(lines)
@@ -147,7 +165,116 @@ def _parse_fastq(data: bytes, keep_qual: bool, min_len: int,
             continue
         yield Seq(name=name, comment=comment if keep_comment else "",
                   codes=encode(seq),
-                  qual=qual if keep_qual else b"")
+                  qual=qual if keep_qual else b"",
+                  tags=_comment_tags(comment, keep_comment, tags))
+
+
+# BAM nibble -> 2-bit code; anything but A/C/G/T (incl. N = 15) maps to
+# A (fw) / A (rv), as the reference's enc4f/enc4r do (minialign.c:221)
+_BAM_NIB = np.zeros(16, np.int8)
+_BAM_NIB[1], _BAM_NIB[2], _BAM_NIB[4], _BAM_NIB[8] = 0, 1, 2, 3
+_BAM_NIB_R = np.zeros(16, np.int8)
+_BAM_NIB_R[1], _BAM_NIB_R[2], _BAM_NIB_R[4], _BAM_NIB_R[8] = 3, 2, 1, 0
+
+_TAG_SIZE = {b"A": 1, b"c": 1, b"C": 1, b"s": 2, b"S": 2,
+             b"i": 4, b"I": 4, b"f": 4}
+_TAG_FMT = {b"c": "b", b"C": "B", b"s": "<h", b"S": "<H",
+            b"i": "<i", b"I": "<I", b"f": "<f"}
+
+
+def _render_num(t: bytes, raw: bytes) -> str:
+    import struct
+    if t == b"A":
+        return chr(raw[0])
+    v = struct.unpack(_TAG_FMT[t], raw)[0]
+    if t == b"f":
+        return f"{v:f}"          # sprintf("%f") like mm_print_sam_num
+    return str(v)
+
+
+def _bam_tags(buf: bytes, keep: tuple) -> list:
+    """Walk a BAM aux section, rendering kept tags in SAM text form
+    (bseq_save_tags + mm_restore_sam_tags semantics, incl. the array
+    quirk: B arrays print without the subtype char and with a trailing
+    comma per element)."""
+    out = []
+    p, n = 0, len(buf)
+    while p + 3 <= n:
+        name = buf[p:p + 2].decode("latin1")
+        t = buf[p + 2:p + 3]
+        p += 3
+        if t == b"Z" or t == b"H":
+            e = buf.index(b"\x00", p)
+            if name in keep:
+                out.append(f"{name}:{t.decode()}:"
+                           f"{buf[p:e].decode('latin1')}")
+            p = e + 1
+        elif t == b"B":
+            sub = buf[p:p + 1]
+            cnt = int.from_bytes(buf[p + 1:p + 5], "little")
+            sz = _TAG_SIZE[sub]
+            if name in keep:
+                body = "".join(
+                    _render_num(sub, buf[p + 5 + i * sz:p + 5 + (i + 1) * sz])
+                    + "," for i in range(cnt))
+                out.append(f"{name}:B:{body}")
+            p += 5 + cnt * sz
+        else:
+            sz = _TAG_SIZE[t]
+            if name in keep:
+                out.append(f"{name}:{t.decode()}:"
+                           f"{_render_num(t, buf[p:p + sz])}")
+            p += sz
+    return out
+
+
+def _parse_bam(data: bytes, keep_qual: bool, min_len: int,
+               tags: tuple = ()):
+    """Uncompressed-payload BAM record walk (bseq_read_bam,
+    minialign.c:1884-1950): skips 0x900-flagged records, restores the
+    original read orientation for 0x10-flagged ones, +33 quals (0xff
+    first byte = absent), keeps -T-listed aux tags."""
+    import struct
+    pos = 4
+    l_text = int.from_bytes(data[pos:pos + 4], "little")
+    pos += 4 + l_text
+    n_ref = int.from_bytes(data[pos:pos + 4], "little")
+    pos += 4
+    for _ in range(n_ref):
+        l_name = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4 + l_name + 4
+    while pos + 4 <= len(data):
+        bsize = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        rec = data[pos:pos + bsize]
+        pos += bsize
+        if len(rec) < 32:
+            break
+        (_rid, _p, l_qname, _mapq, _bin, n_cigar, flag, l_seq,
+         _nrid, _npos, _tlen) = struct.unpack("<iiBBHHHiiii", rec[:32])
+        if flag & 0x900 or l_seq < min_len:
+            continue
+        o = 32
+        name = rec[o:o + l_qname - 1].decode("latin1")
+        o += l_qname + 4 * n_cigar
+        nseq = (l_seq + 1) // 2
+        packed = np.frombuffer(rec[o:o + nseq], np.uint8)
+        nib = np.empty(2 * nseq, np.uint8)
+        nib[0::2] = packed >> 4
+        nib[1::2] = packed & 0x0F
+        o += nseq
+        qual_raw = rec[o:o + l_seq]
+        o += l_seq
+        has_qual = keep_qual and l_seq and qual_raw[0:1] != b"\xff"
+        if flag & 0x10:
+            codes = _BAM_NIB_R[nib[:l_seq]][::-1]
+            qual_raw = qual_raw[::-1]
+        else:
+            codes = _BAM_NIB[nib[:l_seq]]
+        qual = bytes((q + 33) & 0xFF for q in qual_raw) if has_qual \
+            else b""
+        yield Seq(name=name, comment="", codes=codes, qual=qual,
+                  tags=_bam_tags(rec[o:], tags))
 
 
 def read_batches(path: str, batch_size: int = 512 * 1024, **kw):

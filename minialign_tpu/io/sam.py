@@ -129,8 +129,11 @@ class SamWriter:
         self.out.write("\n")
 
     def _saved_tags(self, seq):
-        if seq.comment and "CO" in {t for t in ()}:
-            self.out.write(f"\tCO:Z:{seq.comment}")
+        """mm_restore_sam_tags (minialign.c:5249-5272): tags preserved
+        from the input (BAM aux / FASTA CO comment), pre-rendered by
+        the bseq reader."""
+        for t in getattr(seq, "tags", ()):
+            self.out.write("\t" + t)
 
     def mapped(self, ref_names, ref_lens, ref_codes, seq, reg):
         """mm_print_sam_mapped (minialign.c:5390-5426): per alignment,
@@ -242,6 +245,7 @@ class SamWriter:
                       f"{'+' if not sa.rev else '-'},{''.join(parts)},"
                       f"{ra.mapq},{nm};")
             ret = True
+        self._saved_tags(seq)
         return ret
 
 

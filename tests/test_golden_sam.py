@@ -227,3 +227,31 @@ def test_circular_tags_sam_byte_identical():
     for g, w in zip(got_l, want_l):
         if not g.startswith("@") and int(g.split("\t")[1]) & 0x10 == 0:
             assert g == w
+
+
+@pytest.mark.slow
+def test_bam_input_byte_identical():
+    """BAM query input (bseq_read_bam): 4-bit decode with non-ACGT ->
+    A, flag 0x10 records restored to original orientation, 0x900
+    records skipped. Goldens were generated with a trailing-u32 EOF
+    quirk file because the reference's BAM loop never terminates on a
+    well-formed BAM (PARITY.md item 7)."""
+    got = _run_cli(["-t1", f"{DATA}/tref.fa", f"{DATA}/treads.bam"])
+    want = open(f"{DATA}/ref_bam.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
+    got_q = _run_cli(["-t1", "-Q", f"{DATA}/tref.fa",
+                      f"{DATA}/treads.bam"])
+    want_q = open(f"{DATA}/ref_bam_q.sam").read()
+    assert _strip_pg(got_q) == _strip_pg(want_q)
+
+
+@pytest.mark.slow
+def test_bam_tag_passthrough():
+    """-T-listed BAM aux tags are preserved onto the primary record
+    (bseq_save_tags/mm_restore_sam_tags intent; the reference binary
+    segfaults on any -T with BAM input, PARITY.md item 7), including
+    the B-array render quirk (no subtype char, trailing commas)."""
+    got = _run_cli(["-t1", "-Q", "-TRG,XB", f"{DATA}/tref.fa",
+                    f"{DATA}/treads.bam"])
+    assert "RG:Z:grp1" in got
+    assert "XB:B:-1,2,300," in got
