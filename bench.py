@@ -34,7 +34,7 @@ def main():
                                  for i in range(16)),
                     gi=4, ge=2, gfa=3, gfb=3, xdrop=50)  # -xpacbio scoring
 
-    B = int(os.environ.get("BENCH_B", "128"))
+    B = int(os.environ.get("BENCH_B", "512"))
     L = int(os.environ.get("BENCH_L", "20480"))
     rng = np.random.default_rng(0)
 
@@ -53,7 +53,9 @@ def main():
     blen = np.full(B, L, np.int32)
 
     max_blocks = (2 * L + 2 * band.TAIL_N) // band.BLK + 2
-    if jax.default_backend() == "tpu":
+    # anything but plain CPU is a TPU-like backend (incl. tunneled
+    # platforms that report their own name, e.g. "axon")
+    if jax.default_backend() != "cpu":
         from minialign_tpu.dp.pallas_fill import make_fill_pallas
         fill = make_fill_pallas(p, 64, max_blocks=max_blocks, trace=False)
     else:
@@ -67,12 +69,17 @@ def main():
     res = fill(ab_d, alen_d, bb_d, blen_d)
     np.asarray(res.max_score)
 
-    runs = 3
+    # sustained throughput: dispatch all runs, then sync once — a
+    # tunneled backend adds ~30 ms of RPC latency per host round-trip,
+    # which pipelined dispatches overlap (the production pipeline also
+    # keeps many fills in flight)
+    runs = 8
     t0 = time.perf_counter()
-    for _ in range(runs):
-        res = fill(ab_d, alen_d, bb_d, blen_d)
-        np.asarray(res.max_score)
+    results = [fill(ab_d, alen_d, bb_d, blen_d) for _ in range(runs)]
+    for r in results:
+        np.asarray(r.max_score)
     dt = (time.perf_counter() - t0) / runs
+    res = results[-1]
 
     n_steps = int(np.asarray(res.n_steps).sum())
     cells = n_steps * 64

@@ -1,24 +1,37 @@
-"""Pallas TPU kernel for the banded-DP block fill.
+"""Pallas TPU kernel for the adaptive-banded DP fill.
 
 Same semantics as dp/band.py (the XLA reference implementation), with
 the hardware-fit layout: the band lives in SUBLANES (W rows), the
-problem batch in LANES (B = 128 columns), so each vector op processes
-W x B cells. One kernel invocation advances all B bands by one 32-step
-block entirely in VMEM:
+problem batch in LANES (128 columns per grid chunk), so each vector op
+processes W x 128 cells.
 
-  HBM: per-block char slabs (gathered by XLA between blocks), mask
-       output buffers.
-  VMEM: band state (S, Sprev, E, F), band chars, per-problem scalar
-       rows, the 32-char lookahead slabs.
+The ENTIRE fill — every 32-step block of every problem to termination
+— runs as ONE pallas launch (grid = batch chunks of 128):
 
-The data-dependent per-problem sequence fetch (the part that does not
-map to dense TPU ops) is solved by the slab trick: XLA gathers 32
-chars per side per problem between blocks, and the kernel picks each
-step's char with a one-hot row-select over the slab — O(BLK x B) VPU
-work per step, the same order as the band update itself.
+  per segment of K blocks (in-kernel while_loop, early exit when all
+  problems hit X-drop or their p limit):
+    1. _extract_window gathers each problem's next K*32 chars at its
+       own (data-dependent) offset — per-lane binary-shift selects
+       over the pre-transposed (L, B) char arrays in VMEM, because
+       Mosaic has no per-lane dynamic slicing and DMA slices need
+       8-row tile alignment.
+    2. K*32 band steps with the whole state in vector registers:
+       4 int32 (W,B) score arrays, char arrays, int8 char slabs
+       consumed by conditional rolls, and (1,B) tracking rows.
+    3. trace mode: per-step mask words staged in VMEM, DMA'd to the
+       HBM mask buffer per segment.
 
-The reference equivalent is fill_bulk_block (gaba.c:1821-1860: fetch
-32+32 bases, 32 vector steps, store masks + state).
+Hard-won Mosaic/v5e performance rules baked in here (each measured):
+  * NO scalar (SMEM) operand may flow into the vector step math
+    (~35x slowdown) — per-problem scalars ride as broadcast rows.
+  * the fori carry must fit the vector register file; spills cost
+    ~10x. One launch per fill instead of one per K blocks matters
+    most on tunneled backends (~30 ms RPC per dispatch).
+  * int8 values may be rolled/selected but not compared (layout
+    inference fails); chars convert to int32 at slab consumption.
+
+The reference equivalent of a segment is fill_bulk_k_blocks
+(gaba.c:1873): fetch 32+32 bases, 32 vector steps, store masks/state.
 """
 
 from __future__ import annotations
@@ -36,14 +49,25 @@ from ..params import ScoreParams
 from . import band
 from .band import BLK, NCODE, TAIL_N, FillResult, TraceBuffers, score_floor
 
-# scalar-row indices in the (8, B) int32 state block
-R_IHEAD, R_RPREV, R_TERM, R_GMAX, R_GI, R_GJ, R_NSTEPS, R_PAD = range(8)
+# scalar-row indices in the (16, B) int32 state block. Per-problem
+# "scalars" travel as broadcast VMEM rows, NOT SMEM scalars: a scalar
+# SMEM operand flowing into the step math makes Mosaic emit
+# catastrophically slow code (~35x, measured on v5e).
+(R_IHEAD, R_RPREV, R_TERM, R_GMAX, R_GI, R_GJ, R_NSTEPS, R_PLIM,
+ R_NSEG) = range(9)
+NROWS = 16
+# kept for old launch-style kernels (tests import _step_t only)
+R_P0 = R_PLIM
 
 
 def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
-            force_dir_parity):
+            bulk: bool = False, trace: bool = True):
     """One anti-diagonal step on (W, B)-transposed arrays. Mirrors
-    band._step; see there for the lane algebra and boundary rules."""
+    band._step; see there for the lane algebra and boundary rules.
+    With bulk=True the i/j boundary handling is omitted entirely — the
+    caller guarantees no lane can touch i==0 / j==0 / negative during
+    the launch (the reference's fill_bulk_block vs fill_cap split,
+    gaba.c:1821/1925), making bulk bit-identical where selected."""
     floor = score_floor(p)
     gi, ge = p.gi, p.ge
     gfa, gfb = p.gfa_eff, p.gfb_eff
@@ -51,10 +75,13 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     S, Sp, E, F, ach, bch, ihead, rprev = carry
 
     # down flag kept as int32 0/1 (Mosaic dislikes i1-valued selects)
-    edge_ok = (ihead - (W - 1) >= 0) & ((pp + 2) - ihead >= 0)   # (1, B)
-    down_i = jnp.where(edge_ok,
-                       (S[W - 1:W] > S[0:1]).astype(jnp.int32),
-                       (pp + 1) & 1)                              # (1, B)
+    if bulk:
+        down_i = (S[W - 1:W] > S[0:1]).astype(jnp.int32)          # (1, B)
+    else:
+        edge_ok = (ihead - (W - 1) >= 0) & ((pp + 2) - ihead >= 0)
+        down_i = jnp.where(edge_ok,
+                           (S[W - 1:W] > S[0:1]).astype(jnp.int32),
+                           (pp + 1) & 1)                          # (1, B)
     d = down_i == 1                                               # (1, B)
 
     def roll_q(x, delta, fill):
@@ -105,45 +132,52 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
                     jnp.maximum(F_new, SsrcF - gfa)))
     S_new = jnp.maximum(S_new, floor)
 
-    masks = (
-        S_new == SsrcF - gfa,
-        S_new == F_new,
-        S_new == SsrcE - gfb,
-        S_new == E_new,
-        F_new == SsrcF - gi - ge,
-        E_new == SsrcE - gi - ge,
-    )
+    if trace:
+        masks = (
+            S_new == SsrcF - gfa,
+            S_new == F_new,
+            S_new == SsrcE - gfb,
+            S_new == E_new,
+            F_new == SsrcF - gi - ge,
+            E_new == SsrcE - gi - ge,
+        )
+    else:
+        masks = ()
 
     ihead_new = ihead + (1 - down_i)
     p_new = pp + 1
     q = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
-    i_lane = ihead_new - q                                        # (W, B)
-    j_lane = (p_new + 2) - i_lane
 
-    if p.model == 2:
-        gap_a_j = jnp.maximum(-gi * (j_lane > 0) - ge * j_lane,
-                              -p.gfa * j_lane)
-        gap_b_i = jnp.maximum(-gi * (i_lane > 0) - ge * i_lane,
-                              -p.gfb * i_lane)
+    if not bulk:
+        i_lane = ihead_new - q                                    # (W, B)
+        j_lane = (p_new + 2) - i_lane
+
+        if p.model == 2:
+            gap_a_j = jnp.maximum(-gi * (j_lane > 0) - ge * j_lane,
+                                  -p.gfa * j_lane)
+            gap_b_i = jnp.maximum(-gi * (i_lane > 0) - ge * i_lane,
+                                  -p.gfb * i_lane)
+        else:
+            gap_a_j = -gi * (j_lane > 0) - ge * j_lane
+            gap_b_i = -gi * (i_lane > 0) - ge * i_lane
+        gap_a_j = jnp.maximum(gap_a_j, floor)
+        gap_b_i = jnp.maximum(gap_b_i, floor)
+
+        on_i0 = (i_lane == 0) & (j_lane >= 0)
+        on_j0 = (j_lane == 0) & (i_lane >= 0)
+        invalid = (i_lane < 0) | (j_lane < 0)
+
+        S_new = jnp.where(on_i0, gap_a_j, S_new)
+        S_new = jnp.where(on_j0, gap_b_i, S_new)
+        S_new = jnp.where(invalid, floor, S_new)
+        E_new = jnp.where(on_j0, gap_b_i, E_new)
+        E_new = jnp.where(on_i0 | invalid, floor, E_new)
+        F_new = jnp.where(on_i0, gap_a_j, F_new)
+        F_new = jnp.where(on_j0 | invalid, floor, F_new)
+
+        cand = jnp.where(on_i0 | on_j0 | invalid, floor, S_new)
     else:
-        gap_a_j = -gi * (j_lane > 0) - ge * j_lane
-        gap_b_i = -gi * (i_lane > 0) - ge * i_lane
-    gap_a_j = jnp.maximum(gap_a_j, floor)
-    gap_b_i = jnp.maximum(gap_b_i, floor)
-
-    on_i0 = (i_lane == 0) & (j_lane >= 0)
-    on_j0 = (j_lane == 0) & (i_lane >= 0)
-    invalid = (i_lane < 0) | (j_lane < 0)
-
-    S_new = jnp.where(on_i0, gap_a_j, S_new)
-    S_new = jnp.where(on_j0, gap_b_i, S_new)
-    S_new = jnp.where(invalid, floor, S_new)
-    E_new = jnp.where(on_j0, gap_b_i, E_new)
-    E_new = jnp.where(on_i0 | invalid, floor, E_new)
-    F_new = jnp.where(on_i0, gap_a_j, F_new)
-    F_new = jnp.where(on_j0 | invalid, floor, F_new)
-
-    cand = jnp.where(on_i0 | on_j0 | invalid, floor, S_new)
+        cand = S_new
     step_max = jnp.max(cand, axis=0, keepdims=True)               # (1, B)
     # first-max lane (Mosaic lacks integer argmax): min index where
     # cand equals the max
@@ -155,140 +189,259 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     return new_carry, down_i, masks, step_max, step_arg
 
 
-def _make_block_kernel(p: ScoreParams, W: int, B: int, trace: bool,
-                       K: int):
-    """Kernel processing K consecutive 32-step blocks per launch. The
-    char slabs hold K*BLK lookahead rows per side and are consumed by
-    per-problem conditional rolls (the next char is always slab row 0
-    for each problem), so no dynamic indexing is needed."""
+
+
+def _extract_window(src_ref, off, SL: int, P: int, B: int,
+                    scr0_ref, scr1_ref):
+    """Per-problem window gather without DMA: returns the (SL, B) int8
+    window with row r = src[off_b + r, b] for each lane b.
+
+    src_ref is (2**P + SL, B) int8 (NCODE-padded past the data) and
+    off is a (1, B) int32 in [0, 2**P]. The per-lane offset is removed
+    one binary digit at a time, top-down: level k selects, per lane,
+    between the slice shifted by 2**k and the unshifted slice
+    (vector selects only — Mosaic has no per-lane dynamic slicing, and
+    DMA slices would need 8-row tile alignment). Total traffic is
+    ~2 * len(src) elements, amortized over a whole segment."""
+    cur, nxt = scr0_ref, scr1_ref
+    src = src_ref
+    for k in range(P - 1, -1, -1):
+        ln = SL + (1 << k)
+        bit = ((off >> k) & 1) == 1
+        sel = jnp.where(bit, src[(1 << k):(1 << k) + ln], src[0:ln])
+        # always round-trip through the scratch ref: values built from
+        # sublane-unaligned slices carry layouts Mosaic cannot feed
+        # into later selects/compares (relayout error); a ref store +
+        # aligned reload normalizes the layout
+        nxt[0:ln] = sel
+        if k == 0:
+            return nxt[0:SL]
+        src = nxt
+        cur, nxt = nxt, cur
+    return src[0:SL]        # P == 0: off is identically 0
+
+
+def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
+                      K: int, n_seg: int, PA: int, PB: int):
+    """Whole-fill kernel: ONE pallas launch runs every 32-step block of
+    every problem to completion (per-launch dispatch costs ~300us on
+    tunneled backends — the multi-launch design spent 6x more time
+    launching than filling). Segments of K blocks alternate:
+      extract char windows (per-problem offsets, _extract_window)
+      -> 32*K register-resident band steps (the fori carry fits the
+         vector register file: 4 int32 (W,B) + 2 int8 chars + 2 int8
+         slabs + a few rows)
+      -> stage out masks (trace) via aligned DMA to HBM.
+    An in-kernel while_loop exits early when every problem has hit
+    X-drop or its p limit. The reference equivalent of one segment is
+    fill_bulk_k_blocks (gaba.c:1873)."""
     floor = score_floor(p)
     c = W // 2
-    SL = K * BLK            # slab rows
+    SL = K * BLK
 
-    def kernel(p0_ref,                       # (1, 1) SMEM: block start p
-               S_ref, Sp_ref, E_ref, F_ref,  # (W, B) i32 state (aliased)
-               ach_ref, bch_ref,             # (W, B) i32 chars (aliased)
-               sc_ref,                       # (8, B) i32 scalars (aliased)
-               aslabT_ref, bslabT_ref,       # (B, SL) i8 slabs
-               So_ref, Spo_ref, Eo_ref, Fo_ref,
-               acho_ref, bcho_ref, sco_ref,  # outputs (aliased to inputs)
-               masks_ref, dirs_ref):         # (K,BLK,6,2,B), (K,B) i32
-        p0 = p0_ref[0, 0]
-        term0 = sc_ref[R_TERM:R_TERM + 1]
+    def kernel(*refs):
+        # signature: 9 inputs, then outputs, then scratch. The state
+        # outputs are NOT aliased to the inputs (aliasing + grid
+        # blocking miscompiles: chunks past the first come back
+        # uninitialized); instead the state is copied in explicitly at
+        # the start of each grid step.
+        aT_ref, bT_ref = refs[0], refs[1]
+        ins = refs[2:9]
+        if trace:
+            (S_ref, Sp_ref, E_ref, F_ref, ach_ref, bch_ref, sc_ref,
+             masks_ref, dirs_ref, iheads_ref, rprevs_ref,
+             scr0, scr1, mstage_ref, sem) = refs[9:]
+        else:
+            (S_ref, Sp_ref, E_ref, F_ref, ach_ref, bch_ref, sc_ref,
+             scr0, scr1) = refs[9:]
+        for src, dst in zip(ins, (S_ref, Sp_ref, E_ref, F_ref,
+                                  ach_ref, bch_ref, sc_ref)):
+            dst[:] = src[:]
 
-        # (B, SL) int8 slabs arrive gathered by the outer step (vmapped
-        # dynamic_slice); transpose to the (rows, lanes) compute layout
-        aslab0 = aslabT_ref[:].astype(jnp.int32).T      # (SL, B)
-        bslab0 = bslabT_ref[:].astype(jnp.int32).T
+        nrow = jnp.full((1, B), NCODE, jnp.int8)
+        # program_id is unavailable inside while_loop bodies (interpret
+        # lowering lacks the grid env there) — read it at kernel level
+        chunk = pl.program_id(0)
 
-        carry0 = (S_ref[:], Sp_ref[:], E_ref[:], F_ref[:],
-                  ach_ref[:], bch_ref[:],
-                  sc_ref[R_IHEAD:R_IHEAD + 1], sc_ref[R_RPREV:R_RPREV + 1])
-        track0 = (sc_ref[R_GMAX:R_GMAX + 1], sc_ref[R_GI:R_GI + 1],
-                  sc_ref[R_GJ:R_GJ + 1], sc_ref[R_NSTEPS:R_NSTEPS + 1])
-
-        nrow = jnp.full((1, B), NCODE, jnp.int32)
-
-        def step_body(t, state):
-            carry, track, term, aslab, bslab, dirbits = state
-            S, Sp, E, F, ach, bch, ihead, rprev = carry
-            pp = p0 + t
-            anext = aslab[0:1]
-            bnext = bslab[0:1]
-
-            carry, down_i, masks, step_max, step_arg = _step_t(
-                p, W, B, carry, anext, bnext, pp, None)
-            d = down_i == 1
-
-            # consume: roll the used side down by one row
-            aslab = jnp.where(d, aslab,
-                              jnp.concatenate([aslab[1:], nrow], axis=0))
-            bslab = jnp.where(d,
-                              jnp.concatenate([bslab[1:], nrow], axis=0),
-                              bslab)
-
-            gmax, gi_, gj_, nsteps = track
-            upd = (step_max > gmax) & (term == 0)
-            ihead_new = carry[6]
-            gmax = jnp.where(upd, step_max, gmax)
-            gi_ = jnp.where(upd, ihead_new - step_arg, gi_)
-            gj_ = jnp.where(upd, (pp + 3) - (ihead_new - step_arg), gj_)
-            nsteps = nsteps + (term == 0).astype(jnp.int32)
-            dirbits = dirbits | (down_i << (t % BLK))
+        def seg_body(carry_in):
+            seg, _ = carry_in
+            nseg_row = sc_ref[R_NSEG:R_NSEG + 1]
+            p0 = nseg_row * SL - 1                       # (1, B)
+            ihead0 = sc_ref[R_IHEAD:R_IHEAD + 1]
+            jhead0 = (p0 + 2) - ihead0 + (W - 1)
+            offa = jnp.clip(ihead0, 0, 1 << PA)
+            offb = jnp.clip(jhead0, 0, 1 << PB)
+            # the two extractions run sequentially and share scratch
+            aslab0 = _extract_window(aT_ref, offa, SL, PA, B, scr0, scr1)
+            bslab0 = _extract_window(bT_ref, offb, SL, PB, B, scr0, scr1)
 
             if trace:
-                # int32 packing: sums of distinct powers of two wrap to
-                # the same bit pattern as the uint32 OR would
-                w32 = (jnp.int32(1) << (jax.lax.broadcasted_iota(
-                    jnp.int32, (W, B), 0) % 32))
-                zero_row = jnp.zeros((1, B), jnp.int32)
-                for mi, m in enumerate(masks):
-                    mw = m.astype(jnp.int32) * w32
-                    lo = jnp.sum(mw[:min(32, W)], axis=0, keepdims=True)
-                    hi = jnp.sum(mw[32:], axis=0, keepdims=True) \
-                        if W > 32 else zero_row
-                    masks_ref[t // BLK, t % BLK, mi] = \
-                        jnp.concatenate([lo, hi], axis=0)
+                iheads_ref[pl.ds(seg * K, 1)] = ihead0
+                rprevs_ref[pl.ds(seg * K, 1)] = \
+                    sc_ref[R_RPREV:R_RPREV + 1]
 
-            # block boundary: save dir bits, X-drop test (gaba.c:1738)
-            at_blk_end = ((t + 1) % BLK) == 0
+            carry0 = (S_ref[:], Sp_ref[:], E_ref[:], F_ref[:],
+                      ach_ref[:], bch_ref[:],
+                      ihead0, sc_ref[R_RPREV:R_RPREV + 1])
+            track0 = (sc_ref[R_GMAX:R_GMAX + 1], sc_ref[R_GI:R_GI + 1],
+                      sc_ref[R_GJ:R_GJ + 1],
+                      sc_ref[R_NSTEPS:R_NSTEPS + 1])
+            term0 = sc_ref[R_TERM:R_TERM + 1]
 
-            @pl.when(at_blk_end)
-            def _():
-                dirs_ref[t // BLK] = dirbits[0]
+            def make_step_body(bulk):
+              def step_body(t, state):
+                carry, track, term, aslab, bslab, dirbits, pp = state
+                # chars ride as int32 in the band state: int8 values
+                # threading through the where/concat carry chain make
+                # Mosaic's layout inference fail (i1 relayout error);
+                # the slabs stay int8 and convert on consumption
+                anext = aslab[0:1].astype(jnp.int32)
+                bnext = bslab[0:1].astype(jnp.int32)
 
-            xdrop_hit = ((gmax - carry[0][c:c + 1])
-                         > p.xdrop).astype(jnp.int32)
-            term_new = jnp.where(at_blk_end, term | xdrop_hit, term)
-            dirbits = jnp.where(at_blk_end,
-                                jnp.zeros((1, B), jnp.int32), dirbits)
+                carry, down_i, masks, step_max, step_arg = _step_t(
+                    p, W, B, carry, anext, bnext, pp, bulk=bulk,
+                    trace=trace)
+                d = down_i == 1
 
-            return (carry, (gmax, gi_, gj_, nsteps), term_new,
-                    aslab, bslab, dirbits)
+                # consume: roll the used side down by one row
+                aslab = jnp.where(d, aslab, jnp.concatenate(
+                    [aslab[1:], nrow], axis=0))
+                bslab = jnp.where(d, jnp.concatenate(
+                    [bslab[1:], nrow], axis=0), bslab)
 
-        state = (carry0, track0, term0, aslab0, bslab0,
-                 jnp.zeros((1, B), jnp.int32))
-        state = jax.lax.fori_loop(0, K * BLK, step_body, state)
-        carry, track, term, _, _, _ = state
-        S, Sp, E, F, ach, bch, ihead, rprev = carry
-        gmax, gi_, gj_, nsteps = track
+                gmax, gi_, gj_, nsteps = track
+                upd = (step_max > gmax) & (term == 0)
+                ihead_new = carry[6]
+                gmax = jnp.where(upd, step_max, gmax)
+                gi_ = jnp.where(upd, ihead_new - step_arg, gi_)
+                gj_ = jnp.where(upd, (pp + 3) - (ihead_new - step_arg),
+                                gj_)
+                nsteps = nsteps + (term == 0).astype(jnp.int32)
+                dirbits = dirbits | (down_i << (t % BLK))
 
-        So_ref[:] = S
-        Spo_ref[:] = Sp
-        Eo_ref[:] = E
-        Fo_ref[:] = F
-        acho_ref[:] = ach
-        bcho_ref[:] = bch
-        sco_ref[R_IHEAD:R_IHEAD + 1] = ihead
-        sco_ref[R_RPREV:R_RPREV + 1] = rprev
-        sco_ref[R_TERM:R_TERM + 1] = term
-        sco_ref[R_GMAX:R_GMAX + 1] = gmax
-        sco_ref[R_GI:R_GI + 1] = gi_
-        sco_ref[R_GJ:R_GJ + 1] = gj_
-        sco_ref[R_NSTEPS:R_NSTEPS + 1] = nsteps
-        sco_ref[R_PAD:R_PAD + 1] = sc_ref[R_PAD:R_PAD + 1]
+                if trace:
+                    # int32 packing: sums of distinct powers of two
+                    # wrap to the same bits as the uint32 OR would
+                    w32 = (jnp.int32(1) << (jax.lax.broadcasted_iota(
+                        jnp.int32, (W, B), 0) % 32))
+                    zero_row = jnp.zeros((1, B), jnp.int32)
+                    for mi, m in enumerate(masks):
+                        mw = m.astype(jnp.int32) * w32
+                        lo = jnp.sum(mw[:min(32, W)], axis=0,
+                                     keepdims=True)
+                        hi = jnp.sum(mw[32:], axis=0, keepdims=True) \
+                            if W > 32 else zero_row
+                        mstage_ref[t // BLK, t % BLK, mi] = \
+                            jnp.concatenate([lo, hi], axis=0)
+
+                # block boundary: dir bits out, X-drop (gaba.c:1738)
+                at_blk_end = ((t + 1) % BLK) == 0
+
+                if trace:
+                    @pl.when(at_blk_end)
+                    def _():
+                        dirs_ref[seg * K + t // BLK] = dirbits[0]
+
+                xdrop_hit = ((gmax - carry[0][c:c + 1])
+                             > p.xdrop).astype(jnp.int32)
+                term = jnp.where(at_blk_end, term | xdrop_hit, term)
+                dirbits = jnp.where(at_blk_end,
+                                    jnp.zeros((1, B), jnp.int32),
+                                    dirbits)
+                return (carry, (gmax, gi_, gj_, nsteps), term,
+                        aslab, bslab, dirbits, pp + 1)
+              return step_body
+
+            state0 = (carry0, track0, term0, aslab0, bslab0,
+                      jnp.zeros((1, B), jnp.int32), p0)
+            # a segment is "bulk" (boundary handling compiled out, the
+            # reference's fill_bulk_block vs fill_cap split) when no
+            # lane of any problem can touch i==0/j==0 within it: ihead
+            # only grows and j_min = p0+2-ihead0 grows (bit-identical)
+            p0s = seg * SL - 1
+            can_bulk = (jnp.min(ihead0) >= W) & \
+                (jnp.max(ihead0) <= p0s + 1)
+            state = jax.lax.cond(
+                can_bulk,
+                lambda st: jax.lax.fori_loop(0, K * BLK,
+                                             make_step_body(True), st),
+                lambda st: jax.lax.fori_loop(0, K * BLK,
+                                             make_step_body(False), st),
+                state0)
+            carry, track, term, _, _, _, _ = state
+            S, Sp, E, F, ach, bch, ihead, rprev = carry
+
+            # p-limit termination for the NEXT segment
+            pend = (nseg_row + 1) * SL - 1
+            term = term | (pend >= sc_ref[R_PLIM:R_PLIM + 1]).astype(
+                jnp.int32)
+
+            S_ref[:], Sp_ref[:], E_ref[:], F_ref[:] = S, Sp, E, F
+            ach_ref[:], bch_ref[:] = ach, bch
+            sc_ref[R_IHEAD:R_IHEAD + 1] = ihead
+            sc_ref[R_RPREV:R_RPREV + 1] = rprev
+            sc_ref[R_TERM:R_TERM + 1] = term
+            sc_ref[R_GMAX:R_GMAX + 1] = track[0]
+            sc_ref[R_GI:R_GI + 1] = track[1]
+            sc_ref[R_GJ:R_GJ + 1] = track[2]
+            sc_ref[R_NSTEPS:R_NSTEPS + 1] = track[3]
+            sc_ref[R_NSEG:R_NSEG + 1] = nseg_row + 1
+
+            if trace:
+                cp = pltpu.make_async_copy(
+                    mstage_ref,
+                    masks_ref.at[pl.ds(seg * K, K), :, :, :,
+                                 pl.ds(chunk * B, B)], sem)
+                cp.start()
+                cp.wait()
+
+            done = jnp.min(term) > 0
+            return (seg + 1, done)
+
+        def seg_cond(carry_in):
+            seg, done = carry_in
+            return (seg < n_seg) & jnp.logical_not(done)
+
+        jax.lax.while_loop(seg_cond, seg_body,
+                           (jnp.int32(0), jnp.bool_(False)))
 
     return kernel
 
 
 def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
-                     interpret: bool = False, K: int = 8):
+                     interpret: bool = False, K: int = 4):
     """Pallas-backed drop-in for band.make_fill: same signature and
-    semantics, (B, LA)/(B, LB) int8 inputs. K = 32-step blocks per
-    kernel launch (slab gathers and launches amortize over K)."""
+    semantics, (B, LA)/(B, LB) int8 inputs. The entire adaptive-banded
+    fill runs as ONE kernel launch (see _make_fill_kernel)."""
     p.check()
     K = max(1, min(K, max_blocks))
-    n_launch = -(-max_blocks // K)
-    max_blocks = n_launch * K
+    n_seg = -(-max_blocks // K)
+    max_blocks = n_seg * K
     SL = K * BLK
 
     def fill(a, alen, b, blen):
-        B, LA = a.shape
+        B0, LA = a.shape
         LB = b.shape[1]
-        # pad with N so clamped slab windows always read sentinel bases
-        a_pad = jnp.pad(a, ((0, 0), (0, 2 * SL)), constant_values=NCODE)
-        b_pad = jnp.pad(b, ((0, 0), (0, 2 * SL)), constant_values=NCODE)
-        LAp, LBp = LA + 2 * SL, LB + 2 * SL
+        # batch chunking: the kernel runs one 128-lane chunk per grid
+        # step inside a single launch (sequential on one core, but one
+        # dispatch amortizes the per-launch/RPC cost over the batch)
+        BC = min(B0, 128)
+        nchunk = -(-B0 // BC)
+        B = nchunk * BC
+        if B != B0:
+            a = jnp.pad(a, ((0, B - B0), (0, 0)), constant_values=NCODE)
+            b = jnp.pad(b, ((0, B - B0), (0, 0)), constant_values=NCODE)
+            alen = jnp.pad(jnp.asarray(alen), (0, B - B0))
+            blen = jnp.pad(jnp.asarray(blen), (0, B - B0))
+        # pad to (2**P + SL) rows of NCODE sentinel: window offsets are
+        # clipped to [0, 2**P], so every out-of-data row reads NCODE
+        PA = max((LA + SL - 1).bit_length(), 3)
+        PB = max((LB + SL - 1).bit_length(), 3)
+        LAp, LBp = (1 << PA) + SL, (1 << PB) + SL
+        aT = jnp.pad(a, ((0, 0), (0, LAp - LA)),
+                     constant_values=NCODE).T          # (LAp, B) int8
+        bT = jnp.pad(b, ((0, 0), (0, LBp - LB)),
+                     constant_values=NCODE).T
         st0 = band._init_band(p, W, B, a, b)
 
         S = st0["S"].T
@@ -297,102 +450,79 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         F = st0["F"].T
         ach = st0["achar"].T.astype(jnp.int32)
         bch = st0["bchar"].T.astype(jnp.int32)
-        sc = jnp.zeros((8, B), jnp.int32)
+        sc = jnp.zeros((NROWS, B), jnp.int32)
         sc = sc.at[R_IHEAD].set(st0["ihead"])
         plim = jnp.minimum(alen + blen + 2 * TAIL_N,
                            jnp.int32(max_blocks * BLK - 2))
+        sc = sc.at[R_PLIM].set(plim)
 
-        kernel = _make_block_kernel(p, W, B, trace, K)
-        out_shape = [
+        NB = max_blocks
+        kernel = _make_fill_kernel(p, W, BC, trace, K, n_seg, PA, PB)
+
+        def chunked(shape):
+            blk = shape[:-1] + (BC,)
+            idx = tuple([0] * (len(shape) - 1))
+            return pl.BlockSpec(blk, lambda i, _i=idx: _i + (i,),
+                                memory_space=pltpu.VMEM)
+
+        anys = pl.BlockSpec(memory_space=pltpu.ANY)
+        state_shapes = [
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # S
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # Sp
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # E
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # F
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # ach
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # bch
-            jax.ShapeDtypeStruct((8, B), jnp.int32),   # scalars
-            jax.ShapeDtypeStruct((K, BLK, 6, 2, B), jnp.int32),  # masks
-            jax.ShapeDtypeStruct((K, B), jnp.int32),   # dirs
+            jax.ShapeDtypeStruct((NROWS, B), jnp.int32),  # scalar rows
         ]
-        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-        smem11 = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
+        state_specs = [chunked((W, B))] * 6 + [chunked((NROWS, B))]
+        in_specs = [chunked((LAp, B)), chunked((LBp, B))] + state_specs
+        scrlen = SL + (1 << max(max(PA, PB) - 1, 0))
+        scratch = [
+            pltpu.VMEM((scrlen, BC), jnp.int8),
+            pltpu.VMEM((scrlen, BC), jnp.int8),
+        ]
+        if trace:
+            out_shape = state_shapes + [
+                jax.ShapeDtypeStruct((NB, BLK, 6, 2, B), jnp.int32),
+                jax.ShapeDtypeStruct((NB, B), jnp.int32),   # dirs
+                jax.ShapeDtypeStruct((NB, B), jnp.int32),   # iheads
+                jax.ShapeDtypeStruct((NB, B), jnp.int32),   # rprevs
+            ]
+            out_specs = state_specs + [anys] + [chunked((NB, B))] * 3
+            scratch = scratch + [
+                pltpu.VMEM((K, BLK, 6, 2, BC), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ]
+        else:
+            out_shape = state_shapes
+            out_specs = state_specs
+
         call = pl.pallas_call(
             kernel,
+            grid=(nchunk,),
             out_shape=out_shape,
-            in_specs=[smem11] + [vmem] * 9,
-            out_specs=[vmem] * 9,
-            input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5,
-                                  7: 6},
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )
-
-        if trace:
-            bufs = TraceBuffers(
-                masks=jnp.zeros((max_blocks, BLK, 6, 2, B), jnp.int32),
-                dirs=jnp.zeros((max_blocks, B), jnp.int32),
-                iheads=jnp.zeros((max_blocks, B), jnp.int32),
-                rprevs=jnp.zeros((max_blocks, B), jnp.int32),
-            )
-        else:
-            bufs = ()
-
-        def launch_body(state):
-            (S, Sp, E, F, ach, bch, sc, bufs, lch) = state
-            ihead0 = sc[R_IHEAD]
-            p0 = lch * SL - 1                     # p of current band
-            jhead0 = (p0 + 2) - ihead0 + (W - 1)
-            offa = jnp.clip(ihead0, 0, LAp - SL)
-            offb = jnp.clip(jhead0, 0, LBp - SL)
-            aslab = jax.vmap(
-                lambda row, o: jax.lax.dynamic_slice(row, (o,), (SL,))
-            )(a_pad, offa)
-            bslab = jax.vmap(
-                lambda row, o: jax.lax.dynamic_slice(row, (o,), (SL,))
-            )(b_pad, offb)
-
-            if trace:
-                bufs_ = bufs._replace(
-                    iheads=bufs.iheads.at[lch * K].set(sc[R_IHEAD]),
-                    rprevs=bufs.rprevs.at[lch * K].set(sc[R_RPREV]))
-            else:
-                bufs_ = bufs
-
-            p0s = jnp.full((1, 1), p0, jnp.int32)
-            outs = call(p0s, S, Sp, E, F, ach, bch, sc, aslab, bslab)
-            S, Sp, E, F, ach, bch, sc, masks, dirs = outs
-
-            if trace:
-                bufs_ = bufs_._replace(
-                    masks=jax.lax.dynamic_update_slice(
-                        bufs_.masks, masks, (lch * K, 0, 0, 0, 0)),
-                    dirs=jax.lax.dynamic_update_slice(
-                        bufs_.dirs, dirs, (lch * K, 0)))
-
-            # p-limit termination
-            sc = sc.at[R_TERM].set(
-                sc[R_TERM] | (jnp.int32(lch * SL + SL - 1)
-                              >= plim).astype(jnp.int32))
-            return (S, Sp, E, F, ach, bch, sc, bufs_, lch + 1)
-
-        def launch_cond(state):
-            sc = state[6]
-            lch = state[8]
-            return (~jnp.all(sc[R_TERM] > 0)) & (lch < n_launch)
-
-        state = (S, Sp, E, F, ach, bch, sc, bufs, jnp.int32(0))
-        state = jax.lax.while_loop(launch_cond, launch_body, state)
-        sc = state[6]
-        bufs = state[7]
-        nblk = state[8] * K
+        outs = call(aT, bT, S, Sp, E, F, ach, bch, sc)
+        sc = outs[6][:, :B0]
 
         res = FillResult(max_score=sc[R_GMAX], max_i=sc[R_GI],
                          max_j=sc[R_GJ], n_steps=sc[R_NSTEPS],
-                         n_blocks=nblk)
+                         n_blocks=jnp.max(sc[R_NSEG]) * K)
         if trace:
+            masks, dirs, iheads, rprevs = outs[7], outs[8], outs[9], \
+                outs[10]
             bufs = TraceBuffers(
-                masks=jnp.moveaxis(bufs.masks, 4, 0).view(jnp.uint32),
-                dirs=bufs.dirs.T.view(jnp.uint32), iheads=bufs.iheads.T,
-                rprevs=bufs.rprevs.T)
+                masks=jnp.moveaxis(masks[..., :B0], 4, 0).view(
+                    jnp.uint32),
+                dirs=dirs[:, :B0].T.view(jnp.uint32),
+                iheads=iheads[:, :B0].T, rprevs=rprevs[:, :B0].T)
             return res, bufs
         return res
 

@@ -164,7 +164,9 @@ class FillEngine:
         import jax
         self.p = score
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            # anything but plain CPU runs the Pallas TPU kernel (a
+            # tunneled TPU may report its own platform name)
+            use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = use_pallas
         self.batch = batch if batch is not None else \
             (128 if use_pallas else 32)
