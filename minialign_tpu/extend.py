@@ -220,8 +220,15 @@ class FillEngine:
                 if trace:
                     res, bufs = fn(ab, alen, bb, blen)
                     res = type(res)(*(np.asarray(x) for x in res))
-                    masks = np.asarray(bufs.masks)
-                    dirs = np.asarray(bufs.dirs)
+                    # the traceback walks backward from the max and
+                    # never past it: ship only the reachable blocks
+                    # (the full buffers are 10-100x larger and the
+                    # device->host link is the E2E bottleneck)
+                    nblk = int((res.max_i + res.max_j).max()) \
+                        // band.BLK + 2
+                    nblk = min(-(-nblk // 32) * 32, bufs.dirs.shape[1])
+                    masks = np.asarray(bufs.masks[:, :nblk])
+                    dirs = np.asarray(bufs.dirs[:, :nblk])
                     iheads = np.asarray(bufs.iheads)
                     for s, i in enumerate(sub):
                         tr = traceback_one(
