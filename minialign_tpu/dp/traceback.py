@@ -72,6 +72,19 @@ def traceback_one(p: ScoreParams, W: int,
                            dcnt=0, agcnt=0, bgcnt=0, identity=0.0,
                            gap_penalty=0)
 
+    from .. import native
+    if native.available():
+        r = native.trace_one(p, W, masks, dirs, int(iheads[0]),
+                             int(score), int(ai), int(bj))
+        if r is None:
+            return None
+        path, path_rev, dcnt, agcnt, bgcnt, gap_penalty, e_pen = r
+        return TraceResult(score=score, alen=ai, blen=bj, path=path,
+                           path_rev=path_rev, dcnt=dcnt, agcnt=agcnt,
+                           bgcnt=bgcnt,
+                           identity=_identity(p, score, dcnt, e_pen),
+                           gap_penalty=gap_penalty)
+
     nb = dirs.shape[0]
     # per-step direction bits and ihead values
     steps = nb * BLK

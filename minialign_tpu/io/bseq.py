@@ -91,6 +91,23 @@ def read_seqs(path: str, keep_qual: bool = False, min_len: int = 1,
     if data[:4] == b"BAM\x01":
         yield from _parse_bam(data, keep_qual, min_len, tags)
         return
+    from .. import native
+    if native.available():
+        r = native.parse_fastx(data, keep_qual, min_len)
+        if r is not None:
+            recs, codes = r
+            for row in recs:
+                comment = data[row[2]:row[2] + row[3]].decode() \
+                    if row[3] and keep_comment else ""
+                qual = codes[row[6]:row[6] + row[7]].astype(
+                    np.uint8).tobytes() if row[7] else b""
+                yield Seq(
+                    name=data[row[0]:row[0] + row[1]].decode(),
+                    comment=comment,
+                    codes=codes[row[4]:row[4] + row[5]].copy(),
+                    qual=qual,
+                    tags=_comment_tags(comment, keep_comment, tags))
+            return
     is_fastq = data.lstrip()[:1] == b"@"
     if is_fastq:
         yield from _parse_fastq(data, keep_qual, min_len, keep_comment,
@@ -105,7 +122,9 @@ def _split_header(line: bytes):
              default=-1)
     if sp < 0:
         return line.decode(), ""
-    return line[:sp].decode(), line[sp + 1:].decode()
+    # strip separator runs between name and comment (the reference's
+    # parser state 4, minialign.c:2033-2035)
+    return line[:sp].decode(), line[sp + 1:].lstrip().decode()
 
 
 def _comment_tags(comment: str, keep_comment: bool, tags: tuple) -> list:

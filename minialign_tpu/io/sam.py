@@ -24,9 +24,16 @@ from ..params import (TAG_AS, TAG_IH, TAG_MD, TAG_NH, TAG_NM, TAG_RG,
 from .bseq import DEC_F, decode
 
 
+_OPC = "MID"
+
+
 def cigar_ops(path: str) -> list:
     """Forward path ('D'=query base, 'R'=ref base) -> [(count, op)]
     per the gaba parser conventions (see module docstring)."""
+    from .. import native
+    if native.available():
+        rle = native.cigar_rle(path)
+        return [(int(w) >> 4, _OPC[w & 15]) for w in rle]
     out = []
     i, n = 0, len(path)
     while i < n:
@@ -66,6 +73,10 @@ def md_tag(path: str, rcodes: np.ndarray, qcodes: np.ndarray) -> str:
     """MD:Z value: match-run lengths, mismatch ref bases, ^-prefixed
     deletions (minialign.c:5240-5298). rcodes/qcodes are the aligned
     slices (ref forward, query in alignment orientation)."""
+    from .. import native
+    if native.available():
+        return native.md_walk(path, np.asarray(rcodes),
+                              np.asarray(qcodes))
     out = []
     run = 0
     ri = qi = 0

@@ -1,0 +1,152 @@
+"""ctypes bindings for the native host runtime (native/*.cpp).
+
+The TPU kernels own the DP compute; the native library owns the host
+hot paths the reference implements in C (traceback walk, CIGAR/MD
+formatting, FASTA/FASTQ parsing). Loading is lazy with on-demand
+compilation (g++ via native/Makefile); every entry point has a pure
+Python fallback, selected when the library is unavailable or
+MINIALIGN_NO_NATIVE is set. Behavioral parity between the two paths is
+enforced by tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO = os.path.join(_NATIVE_DIR, "libminialign_native.so")
+
+_lib = None
+_tried = False
+
+
+class _TraceParams(ctypes.Structure):
+    _fields_ = [("W", ctypes.c_int32), ("model", ctypes.c_int32),
+                ("gi", ctypes.c_int32), ("ge", ctypes.c_int32),
+                ("gfa", ctypes.c_int32), ("gfb", ctypes.c_int32),
+                ("gfa_eff", ctypes.c_int32), ("gfb_eff", ctypes.c_int32)]
+
+
+class _TraceOut(ctypes.Structure):
+    _fields_ = [("plen", ctypes.c_int64), ("dcnt", ctypes.c_int64),
+                ("agcnt", ctypes.c_int64), ("bgcnt", ctypes.c_int64),
+                ("gap_penalty", ctypes.c_int64),
+                ("e_pen", ctypes.c_int64), ("status", ctypes.c_int32)]
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("MINIALIGN_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+    lib.trace_one.restype = ctypes.c_int
+    lib.trace_one.argtypes = [
+        u32p, u32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(_TraceParams),
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(_TraceOut)]
+    lib.cigar_rle.restype = ctypes.c_int64
+    lib.cigar_rle.argtypes = [ctypes.c_char_p, ctypes.c_int64, u32p]
+    lib.md_walk.restype = ctypes.c_int64
+    lib.md_walk.argtypes = [ctypes.c_char_p, ctypes.c_int64, i8p, i8p,
+                            ctypes.c_char_p]
+    lib.parse_fastx.restype = ctypes.c_int64
+    lib.parse_fastx.argtypes = [u8p, ctypes.c_int64, ctypes.c_int,
+                                ctypes.c_int64, i64p, ctypes.c_int64,
+                                i8p, ctypes.c_int64]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def trace_one(p, W: int, masks: np.ndarray, dirs: np.ndarray,
+              ihead0: int, score: int, ai: int, bj: int):
+    """Native traceback walk. Returns (path, path_rev, dcnt, agcnt,
+    bgcnt, gap_penalty, e_pen) or None (out-of-band) — the same
+    contract as dp/traceback.traceback_one's core walk."""
+    lib = _load()
+    masks = np.ascontiguousarray(masks, np.uint32)
+    dirs = np.ascontiguousarray(dirs, np.uint32)
+    tp = _TraceParams(W=W, model=p.model, gi=p.gi, ge=p.ge,
+                      gfa=p.gfa, gfb=p.gfb,
+                      gfa_eff=p.gfa_eff, gfb_eff=p.gfb_eff)
+    out = _TraceOut()
+    cap = 2 * (int(ai) + int(bj)) + 2
+    fwd = ctypes.create_string_buffer(cap)
+    rev = ctypes.create_string_buffer(cap)
+    lib.trace_one(masks, dirs, np.int32(dirs.shape[0]),
+                  np.int32(ihead0), score, ai, bj,
+                  ctypes.byref(tp), fwd, rev, ctypes.byref(out))
+    if out.status != 0:
+        return None
+    n = out.plen
+    return (fwd.raw[:n].decode("latin1"), rev.raw[:n].decode("latin1"),
+            out.dcnt, out.agcnt, out.bgcnt, out.gap_penalty, out.e_pen)
+
+
+def cigar_rle(path: str) -> np.ndarray | None:
+    """(count<<4 | op) uint32 runs with op 0=M 1=I 2=D."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = path.encode("latin1")
+    out = np.empty(len(b) + 1, np.uint32)
+    n = lib.cigar_rle(b, len(b), out)
+    return out[:n]
+
+
+def md_walk(path: str, rcodes: np.ndarray, qcodes: np.ndarray) -> str | None:
+    lib = _load()
+    if lib is None:
+        return None
+    b = path.encode("latin1")
+    rc = np.ascontiguousarray(rcodes, np.int8)
+    qc = np.ascontiguousarray(qcodes, np.int8)
+    out = ctypes.create_string_buffer(2 * len(b) + 16)
+    n = lib.md_walk(b, len(b), rc, qc, out)
+    return out.raw[:n].decode("latin1")
+
+
+def parse_fastx(data: bytes, keep_qual: bool, min_len: int):
+    """Returns (recs (n,8) int64, codes int8 buffer) or None.
+    Row layout: name_off, name_len, comment_off, comment_len,
+    seq_off, seq_len, qual_off, qual_len (offsets into codes for
+    seq/qual, into data for name/comment)."""
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, np.uint8)
+    max_recs = max(len(data) // 8, 16)
+    recs = np.empty((max_recs, 8), np.int64)
+    codes = np.empty(len(data) + 16, np.int8)
+    n = lib.parse_fastx(arr, len(arr), int(keep_qual), min_len,
+                        recs.reshape(-1), max_recs, codes, len(codes))
+    if n < 0:
+        return None
+    return recs[:n], codes

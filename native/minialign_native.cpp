@@ -1,0 +1,377 @@
+// Native host-side runtime for minialign-tpu.
+//
+// The TPU (Pallas) kernels own the DP compute; these are the host hot
+// paths the reference implements in C (minialign.c / gaba.c) and that
+// CPython is too slow for at production scale:
+//   * traceback  — the per-alignment mask walk (trace_core,
+//                  gaba.c:3111-3239; mask semantics per dp/band.py)
+//   * cigar_rle  — path ops -> CIGAR run-length encoding
+//                  (gaba_parse.h:148-190 conventions)
+//   * md_walk    — MD:Z tag byte string (minialign.c:5240-5298)
+//   * parse_fastx— FASTA/FASTQ batch parser + 2-bit encoder
+//                  (bseq_read_fasta, minialign.c:1996-2103)
+//
+// Exact behavioral parity with the Python implementations in
+// dp/traceback.py and io/sam.py / io/bseq.py is REQUIRED and enforced
+// by tests/test_native.py.
+//
+// Build: make -C native   (g++ -O3 -shared; loaded via ctypes)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// traceback
+// ---------------------------------------------------------------------------
+
+struct TraceParams {
+  int32_t W;
+  int32_t model;      // 0 linear / 1 affine / 2 combined
+  int32_t gi, ge, gfa, gfb, gfa_eff, gfb_eff;
+};
+
+struct TraceOut {
+  int64_t plen;
+  int64_t dcnt, agcnt, bgcnt;
+  int64_t gap_penalty;   // n_open*gi + n_ext*ge + gf_pen
+  int64_t e_pen;         // ref-side gap penalty (identity estimate)
+  int32_t status;        // 0 ok, 1 out-of-band (None)
+};
+
+// masks: (NB, BLK, 6, 2) uint32 contiguous; dirs: (NB,) uint32.
+// path_fwd / path_rev must each hold >= 2*(ai+bj) bytes.
+// path_fwd: forward-order ops 'D' (query base) / 'R' (ref base).
+// path_rev: op-order reversed with diagonals kept as atomic "DR".
+int trace_one(const uint32_t* masks, const uint32_t* dirs,
+              int32_t nb, int32_t ihead0,
+              int64_t score, int64_t ai, int64_t bj,
+              const TraceParams* tp,
+              char* path_fwd, char* path_rev, TraceOut* out) {
+  const int BLK = 32;
+  std::memset(out, 0, sizeof(*out));
+  if (score <= 0 || (ai == 0 && bj == 0)) {
+    out->plen = 0;
+    out->status = 0;
+    return 0;
+  }
+  const int64_t steps = (int64_t)nb * BLK;
+  // ihead_after[s+1] = ihead after step s (band p = s)
+  std::vector<int32_t> ihead_after((size_t)steps + 1);
+  ihead_after[0] = ihead0;
+  for (int64_t s = 0; s < steps; s++) {
+    int d = (dirs[s / BLK] >> (s % BLK)) & 1;
+    ihead_after[s + 1] = ihead_after[s] + (1 - d);
+  }
+  auto dir_at = [&](int64_t pp) -> int {
+    return pp >= 0 ? (int)((dirs[pp / BLK] >> (pp % BLK)) & 1) : 0;
+  };
+  auto mbit = [&](int64_t pp, int mi, int qq) -> int {
+    const uint32_t* w = masks + ((pp / BLK) * BLK + (pp % BLK)) * 12
+                              + mi * 2;
+    return (w[qq >> 5] >> (qq & 31)) & 1;
+  };
+  // mask indices (dp/band.py: M_GFA, M_F, M_GFB, M_E, M_FO, M_EO)
+  const int M_GFA = 0, M_F = 1, M_GFB = 2, M_E = 3, M_FO = 4, M_EO = 5;
+  const int W = tp->W;
+  const int64_t gi = tp->gi, ge = tp->ge;
+
+  int64_t i = ai, j = bj;
+  int64_t pp = i + j - 2;
+  int64_t q = ihead_after[pp + 1] - i;
+  if (!(0 <= q && q < W)) { out->status = 1; return 1; }
+
+  // ops built backward into a scratch ('D', 'R', or 'X' for a diag pair)
+  std::vector<char> ops;
+  ops.reserve((size_t)(ai + bj));
+  int64_t dcnt = 0, agcnt = 0, bgcnt = 0;
+  int64_t n_open = 0, n_ext = 0, gf_pen = 0, e_pen = 0;
+
+  auto move_f = [&]() { q -= (dir_at(pp) == 1 ? 0 : 1); j--; pp--; };
+  auto move_e = [&]() { q += (dir_at(pp) == 1 ? 1 : 0); i--; pp--; };
+  auto move_diag = [&]() {
+    q += (dir_at(pp) == 1 ? 1 : 0) - (dir_at(pp - 1) == 0 ? 1 : 0);
+    i--; j--; pp -= 2;
+  };
+
+  while (i > 0 || j > 0) {
+    if (i == 0) {
+      for (int64_t k = 0; k < j; k++) ops.push_back('D');
+      bgcnt += j;
+      int64_t aff = gi + j * ge;
+      if (tp->model == 2 && (int64_t)tp->gfa * j < aff) {
+        gf_pen += (int64_t)tp->gfa * j;
+      } else {
+        n_open += 1; n_ext += j;
+      }
+      break;
+    }
+    if (j == 0) {
+      for (int64_t k = 0; k < i; k++) ops.push_back('R');
+      agcnt += i;
+      int64_t aff = gi + i * ge;
+      if (tp->model == 2 && (int64_t)tp->gfb * i < aff) {
+        gf_pen += (int64_t)tp->gfb * i;
+        e_pen += (int64_t)tp->gfb * i;
+      } else {
+        n_open += 1; n_ext += i; e_pen += aff;
+      }
+      break;
+    }
+    if (!(0 <= q && q < W)) { out->status = 1; return 1; }
+    if (j > 1 && mbit(pp, M_GFA, q)) {
+      ops.push_back('D'); bgcnt++; gf_pen += tp->gfa_eff;
+      move_f();
+    } else if (mbit(pp, M_F, q)) {
+      n_open++;
+      while (true) {
+        int fo = mbit(pp, M_FO, q);
+        ops.push_back('D'); bgcnt++; n_ext++;
+        move_f();
+        if (fo || j <= 0) break;
+        if (!(0 <= q && q < W)) { out->status = 1; return 1; }
+      }
+    } else if (i > 1 && mbit(pp, M_GFB, q)) {
+      ops.push_back('R'); agcnt++; gf_pen += tp->gfb_eff;
+      e_pen += tp->gfb_eff;
+      move_e();
+    } else if (mbit(pp, M_E, q)) {
+      n_open++; e_pen += gi;
+      while (true) {
+        int eo = mbit(pp, M_EO, q);
+        ops.push_back('R'); agcnt++; n_ext++; e_pen += ge;
+        move_e();
+        if (eo || i <= 0) break;
+        if (!(0 <= q && q < W)) { out->status = 1; return 1; }
+      }
+    } else {
+      ops.push_back('X');          // diag: backward "RD" / forward "DR"
+      dcnt++;
+      move_diag();
+    }
+    if (!(-1 <= q && q <= W)) { out->status = 1; return 1; }
+  }
+
+  // render forward path and the ops-reversed path
+  int64_t plen = 0;
+  for (char c : ops) plen += (c == 'X') ? 2 : 1;
+  {
+    int64_t w = plen;
+    for (char c : ops) {           // ops are backward; fill from the end
+      if (c == 'X') { path_fwd[--w] = 'R'; path_fwd[w - 1] = 'D'; --w; }
+      else          { path_fwd[--w] = c; }
+    }
+  }
+  {
+    int64_t w = 0;
+    for (char c : ops) {           // same order, diag stays "DR"
+      if (c == 'X') { path_rev[w++] = 'D'; path_rev[w++] = 'R'; }
+      else          { path_rev[w++] = c; }
+    }
+  }
+  out->plen = plen;
+  out->dcnt = dcnt; out->agcnt = agcnt; out->bgcnt = bgcnt;
+  out->gap_penalty = n_open * gi + n_ext * ge + gf_pen;
+  out->e_pen = e_pen;
+  out->status = 0;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// cigar RLE: forward path -> (count<<4 | op) with op 0=M 1=I 2=D,
+// following io/sam.py cigar_ops (a 'D' run keeps one op back as a
+// potential diagonal start; trailing lone 'D' emits 1I)
+// ---------------------------------------------------------------------------
+
+int64_t cigar_rle(const char* path, int64_t n, uint32_t* out) {
+  int64_t i = 0, w = 0;
+  while (i < n) {
+    int64_t m = 0;
+    while (i + m < n && path[i + m] == 'D') m++;
+    int64_t c = m > 0 ? m - 1 : 0;
+    if (c) { out[w++] = (uint32_t)(c << 4) | 1; i += c; }
+    m = 0;
+    while (i + m < n && path[i + m] == 'R') m++;
+    if (m) { out[w++] = (uint32_t)(m << 4) | 2; i += m; }
+    m = 0;
+    while (i + 1 < n && path[i] == 'D' && path[i + 1] == 'R') {
+      m++; i += 2;
+    }
+    if (m) out[w++] = (uint32_t)(m << 4) | 0;
+    else if (i < n && path[i] == 'D') { out[w++] = (1u << 4) | 1; i++; }
+  }
+  return w;
+}
+
+// ---------------------------------------------------------------------------
+// MD tag walk (minialign.c:5240-5298 semantics as in io/sam.py md_tag):
+// rcodes/qcodes are int8 2-bit codes (>=4 = N); out gets the MD:Z value
+// ---------------------------------------------------------------------------
+
+static const char DEC_F[5] = {'A', 'C', 'G', 'T', 'N'};
+
+static int64_t put_num(char* out, int64_t w, int64_t v) {
+  char buf[24];
+  int k = 0;
+  if (v == 0) buf[k++] = '0';
+  while (v > 0) { buf[k++] = '0' + (char)(v % 10); v /= 10; }
+  while (k > 0) out[w++] = buf[--k];
+  return w;
+}
+
+int64_t md_walk(const char* path, int64_t n,
+                const int8_t* rcodes, const int8_t* qcodes,
+                char* out) {
+  int64_t w = 0, run = 0, ri = 0, qi = 0, i = 0;
+  auto dec = [](int8_t c) {
+    return DEC_F[c < 0 ? 0 : (c > 4 ? 4 : c)];
+  };
+  while (i < n) {
+    // replicate cigar_ops run structure
+    int64_t m = 0;
+    while (i + m < n && path[i + m] == 'D') m++;
+    int64_t c = m > 0 ? m - 1 : 0;
+    if (c) { qi += c; i += c; }
+    m = 0;
+    while (i + m < n && path[i + m] == 'R') m++;
+    if (m) {
+      w = put_num(out, w, run); run = 0;
+      out[w++] = '^';
+      for (int64_t k = 0; k < m; k++) out[w++] = dec(rcodes[ri + k]);
+      ri += m; i += m;
+    }
+    m = 0;
+    while (i + 1 < n && path[i] == 'D' && path[i + 1] == 'R') {
+      m++; i += 2;
+    }
+    if (m) {
+      for (int64_t k = 0; k < m; k++) {
+        if (rcodes[ri] == qcodes[qi]) run++;
+        else {
+          w = put_num(out, w, run);
+          out[w++] = dec(rcodes[ri]);
+          run = 0;
+        }
+        ri++; qi++;
+      }
+    } else if (i < n && path[i] == 'D') { qi++; i++; }
+  }
+  w = put_num(out, w, run);
+  return w;
+}
+
+// ---------------------------------------------------------------------------
+// FASTA/FASTQ batch parser (bseq semantics, io/bseq.py parity):
+// 2-bit encode with _encaf: 3 & ((c>>2) ^ (c>>1)); name = first token,
+// comment = rest of header; multi-line seq/qual.
+//
+// Outputs: recs int64 table (n, 8): name_off, name_len, comment_off,
+// comment_len, seq_off (into codes buffer), seq_len, qual_off (into
+// data, concatenated into codes buffer after seq), qual_len.
+// codes: int8 output buffer (caller sized >= len(data)).
+// Returns record count (negative on overflow).
+// ---------------------------------------------------------------------------
+
+int64_t parse_fastx(const uint8_t* data, int64_t len, int keep_qual,
+                    int64_t min_len, int64_t* recs, int64_t max_recs,
+                    int8_t* codes, int64_t codes_cap) {
+  int64_t i = 0, nrec = 0, cw = 0;
+  // skip leading whitespace
+  while (i < len && (data[i] == '\n' || data[i] == '\r' ||
+                     data[i] == ' ' || data[i] == '\t')) i++;
+  if (i >= len) return 0;
+  const int fastq = data[i] == '@';
+  auto enc = [](uint8_t c) -> int8_t {
+    return (int8_t)(3 & ((c >> 2) ^ (c >> 1)));
+  };
+  while (i < len) {
+    if (data[i] != (fastq ? '@' : '>')) { i++; continue; }
+    i++;
+    // header: name token, comment remainder (stripped)
+    int64_t name_off = i;
+    while (i < len && data[i] != ' ' && data[i] != '\t' &&
+           data[i] != '\n' && data[i] != '\r') i++;
+    int64_t name_len = i - name_off;
+    while (i < len && (data[i] == ' ' || data[i] == '\t')) i++;
+    int64_t com_off = i;
+    while (i < len && data[i] != '\n') i++;
+    int64_t com_end = i;
+    while (com_end > com_off && (data[com_end - 1] == '\r' ||
+                                 data[com_end - 1] == ' ' ||
+                                 data[com_end - 1] == '\t')) com_end--;
+    if (i < len) i++;  // consume '\n'
+    // sequence lines
+    int64_t seq_off = cw;
+    if (fastq) {
+      while (i < len && data[i] != '+') {
+        while (i < len && data[i] != '\n') {
+          uint8_t c = data[i++];
+          if (c != '\r' && c != ' ' && c != '\t') {
+            if (cw >= codes_cap) return -1;
+            codes[cw++] = enc(c);
+          }
+        }
+        if (i < len) i++;
+      }
+      int64_t seq_len = cw - seq_off;
+      // '+' line
+      while (i < len && data[i] != '\n') i++;
+      if (i < len) i++;
+      // qual lines until seq_len bytes collected
+      int64_t qual_off = cw, got = 0;
+      while (i < len && got < seq_len) {
+        while (i < len && data[i] != '\n') {
+          uint8_t c = data[i++];
+          if (c != '\r' && c != ' ' && c != '\t') {
+            if (keep_qual) {
+              if (cw >= codes_cap) return -1;
+              codes[cw++] = (int8_t)c;
+            }
+            got++;
+          }
+        }
+        if (i < len) i++;
+      }
+      int64_t qual_len = keep_qual ? cw - qual_off : 0;
+      if (seq_len >= min_len) {
+        if (nrec >= max_recs) return -2;
+        int64_t* r = recs + nrec * 8;
+        r[0] = name_off; r[1] = name_len;
+        r[2] = com_off; r[3] = com_end - com_off;
+        r[4] = seq_off; r[5] = seq_len;
+        r[6] = qual_off; r[7] = qual_len;
+        nrec++;
+      } else {
+        cw = seq_off;  // discard
+      }
+    } else {
+      while (i < len && data[i] != '>') {
+        while (i < len && data[i] != '\n') {
+          uint8_t c = data[i++];
+          if (c != '\r' && c != ' ' && c != '\t') {
+            if (cw >= codes_cap) return -1;
+            codes[cw++] = enc(c);
+          }
+        }
+        if (i < len) i++;
+      }
+      int64_t seq_len = cw - seq_off;
+      if (seq_len >= min_len) {
+        if (nrec >= max_recs) return -2;
+        int64_t* r = recs + nrec * 8;
+        r[0] = name_off; r[1] = name_len;
+        r[2] = com_off; r[3] = com_end - com_off;
+        r[4] = seq_off; r[5] = seq_len;
+        r[6] = 0; r[7] = 0;
+        nrec++;
+      } else {
+        cw = seq_off;
+      }
+    }
+  }
+  return nrec;
+}
+
+}  // extern "C"

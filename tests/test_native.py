@@ -1,0 +1,110 @@
+"""Native (C++) host runtime vs the pure-Python fallbacks: identical
+results required for traceback, CIGAR RLE, MD walk, and FASTA/FASTQ
+parsing. The native library is built on demand (native/Makefile)."""
+
+import importlib
+import os
+
+import numpy as np
+import pytest
+
+from minialign_tpu import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def _fallback(module, fn, *args, **kw):
+    """Run a function with the native library disabled."""
+    old = native._lib, native._tried
+    native._lib, native._tried = None, True
+    try:
+        return fn(*args, **kw)
+    finally:
+        native._lib, native._tried = old
+
+
+def test_cigar_and_md_parity():
+    from minialign_tpu.io import sam
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        n = int(rng.integers(1, 400))
+        path = "".join(rng.choice(["D", "R", "DR"], n))
+        nr = path.count("R")
+        nd = path.count("D")
+        rc = rng.integers(0, 5, nr).astype(np.int8)
+        qc = rng.integers(0, 5, nd).astype(np.int8)
+        got_ops = sam.cigar_ops(path)
+        want_ops = _fallback(sam, sam.cigar_ops, path)
+        assert got_ops == want_ops, path
+        got_md = sam.md_tag(path, rc, qc)
+        want_md = _fallback(sam, sam.md_tag, path, rc, qc)
+        assert got_md == want_md, path
+
+
+def test_fastx_parse_parity(tmp_path):
+    from minialign_tpu.io import bseq
+    fa = tmp_path / "x.fa"
+    fa.write_bytes(b">one comment  here \nACGTN\nacgt\n\n"
+                   b">two\t tabbed comment\nGG  GG\n>three\nA\n")
+    fq = tmp_path / "x.fq"
+    fq.write_bytes(b"@r1 c1\nACGT\nNNNN\n+\nIIII\nJJJJ\n"
+                   b"@r2\nGG\n+ r2\nI@\n@r3  sp\nTTT\n+\nABC\n")
+    for path in (str(fa), str(fq)):
+        for kw in ({}, {"keep_qual": True}, {"min_len": 3},
+                   {"tags": ("CO",)}):
+            got = list(bseq.read_seqs(path, **kw))
+            want = _fallback(bseq, lambda: list(
+                bseq.read_seqs(path, **kw)))
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert g.name == w.name
+                assert g.comment == w.comment
+                assert g.qual == w.qual
+                assert g.tags == w.tags
+                np.testing.assert_array_equal(g.codes, w.codes)
+
+
+def test_traceback_parity():
+    """Random fills through the XLA band, traced with and without the
+    native walker — full TraceResult equality."""
+    from minialign_tpu.dp import band, traceback
+    from minialign_tpu.params import ScoreParams
+
+    p = ScoreParams(matrix=tuple(2 if (i & 3) == (i >> 2) else -4
+                                 for i in range(16)),
+                    gi=4, ge=2, gfa=3, gfb=3, xdrop=60)
+    rng = np.random.default_rng(11)
+    B, W = 8, 32
+    seqs_a, seqs_b = [], []
+    for _ in range(B):
+        L = int(rng.integers(50, 300))
+        a = rng.integers(0, 4, L)
+        b = a.copy()
+        mut = rng.random(L) < 0.12
+        b[mut] = rng.integers(0, 4, int(mut.sum()))
+        seqs_a.append(a)
+        seqs_b.append(b)
+    ab, alen = band.pad_codes(seqs_a)
+    bb, blen = band.pad_codes(seqs_b)
+    fill = band.make_fill(p, W, max_blocks=32, trace=True)
+    res, bufs = fill(ab, alen, bb, blen)
+    res = type(res)(*(np.asarray(x) for x in res))
+    masks = np.asarray(bufs.masks)
+    dirs = np.asarray(bufs.dirs)
+    iheads = np.asarray(bufs.iheads)
+
+    for k in range(B):
+        got = traceback.traceback_one(
+            p, W, masks[k], dirs[k], iheads[k],
+            int(res.max_score[k]), int(res.max_i[k]),
+            int(res.max_j[k]))
+        want = _fallback(traceback, traceback.traceback_one,
+                         p, W, masks[k], dirs[k], iheads[k],
+                         int(res.max_score[k]), int(res.max_i[k]),
+                         int(res.max_j[k]))
+        assert (got is None) == (want is None)
+        if got is None:
+            continue
+        assert got == want, f"problem {k}"
