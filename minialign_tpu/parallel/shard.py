@@ -41,12 +41,13 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 # data-parallel band fill
 # ---------------------------------------------------------------------------
 
-def make_sharded_fill(p: ScoreParams, W: int, max_blocks: int, mesh: Mesh):
+def make_sharded_fill(p: ScoreParams, W: int, max_blocks: int, mesh: Mesh,
+                      trace: bool = False):
     """Batched fill with the problem axis sharded over the mesh. The
     band kernel is embarrassingly parallel over problems, so sharding
     the batch dimension is enough — XLA partitions the whole while-loop
     without collectives."""
-    fill = band.make_fill(p, W, max_blocks=max_blocks, trace=False)
+    fill = band.make_fill(p, W, max_blocks=max_blocks, trace=trace)
     bsh = NamedSharding(mesh, P("dp", None))
     vsh = NamedSharding(mesh, P("dp"))
 
@@ -112,3 +113,88 @@ def make_sharded_lookup(mesh: Mesh):
         )(keys_sh, starts_sh, counts_sh, q)
 
     return jax.jit(lookup)
+
+
+# ---------------------------------------------------------------------------
+# distributed mapping driver
+# ---------------------------------------------------------------------------
+
+class ShardedFillEngine:
+    """FillEngine-compatible executor whose device batches are sharded
+    over the mesh's 'dp' axis (batch data parallelism of SURVEY.md
+    section 2.6: the pt_stream worker pool becomes extension-problem
+    batches split across chips). Same request/result contract as
+    extend.FillEngine; results are bit-identical to the single-device
+    engine (tests/test_shard.py)."""
+
+    def __init__(self, score: ScoreParams, mesh: Mesh,
+                 batch: int | None = None):
+        from ..extend import FillEngine
+
+        self.mesh = mesh
+        ndev = mesh.devices.size
+        self._inner = FillEngine(score, batch=batch or 16 * ndev,
+                                 use_pallas=False)
+        # swap the fill-builder for the mesh-sharded one
+        eng = self._inner
+        score_p = score
+
+        def _fn(W, la, lb, trace):
+            nb = (la + lb + 2 * band.TAIL_N) // band.BLK + 2
+            key = (W, la, lb, trace)
+            if key not in eng._fns:
+                eng._fns[key] = make_sharded_fill(
+                    score_p, W, max_blocks=nb, mesh=mesh, trace=trace)
+            return eng._fns[key]
+
+        eng._fn = _fn
+
+    @property
+    def p(self):
+        return self._inner.p
+
+    def run(self, reqs: list) -> list:
+        return self._inner.run(reqs)
+
+
+class ShardedIndex:
+    """MMIndex facade whose minimizer lookups run on device against a
+    hash-range-sharded key table with cross-shard psum merge (the
+    BASELINE config-5 layout: per-host index shards, query hashes
+    replicated, hits merged over the mesh). Sequence data and metadata
+    stay replicated; only the (keys, offsets) table is sharded."""
+
+    def __init__(self, mi, mesh: Mesh):
+        self._mi = mi
+        self.mesh = mesh
+        n = mesh.devices.size
+        keys_sh, starts_sh, counts_sh = shard_index_arrays(
+            mi.keys, mi.offsets, n)
+        sh = NamedSharding(mesh, P("dp", None))
+        self._keys = jax.device_put(jnp.asarray(keys_sh), sh)
+        self._starts = jax.device_put(jnp.asarray(starts_sh), sh)
+        self._counts = jax.device_put(jnp.asarray(counts_sh), sh)
+        self._lookup = make_sharded_lookup(mesh)
+
+    def __getattr__(self, name):
+        return getattr(self._mi, name)
+
+    def lookup(self, h):
+        h = np.asarray(h, np.uint64)
+        if len(h) == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        st, cn = self._lookup(self._keys, self._starts, self._counts,
+                              jnp.asarray(h))
+        return np.asarray(st, np.int64), np.asarray(cn, np.int64)
+
+
+def align_batch_sharded(mp, mi, reads, mesh: Mesh, base_qid: int = 0):
+    """pipeline.align_batch with both parallel axes on the mesh:
+    extension problems data-parallel ('dp') and index lookups against
+    the hash-range-sharded table. Output order and content match the
+    single-device pipeline exactly."""
+    from ..pipeline import align_batch
+
+    smi = ShardedIndex(mi, mesh)
+    engine = ShardedFillEngine(mp.score, mesh)
+    return align_batch(mp, smi, reads, engine, base_qid=base_qid)

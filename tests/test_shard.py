@@ -57,3 +57,36 @@ def test_sharded_lookup_matches_host(mesh):
     miss = np.asarray([0xDEADBEEF], np.uint64)
     _, cn0 = lookup(keys_sh, starts_sh, counts_sh, miss)
     assert int(np.asarray(cn0)[0]) == 0
+
+
+@pytest.mark.slow
+def test_align_batch_sharded_matches_single(mesh):
+    """Full mapping pipeline with both mesh axes engaged (data-parallel
+    fills + hash-range-sharded index lookups) must produce exactly the
+    single-device results."""
+    import os
+
+    from minialign_tpu.io import bseq
+    from minialign_tpu.params import MapParams
+    from minialign_tpu.pipeline import align_batch
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    ref = list(bseq.read_seqs(os.path.join(data, "tref.fa")))
+    reads = list(bseq.read_seqs(os.path.join(data, "treads.fq")))[:4]
+    mi = build_index(IndexParams(), [s.name for s in ref],
+                     [s.codes for s in ref])
+    mp = MapParams(score=ScoreParams())
+
+    single = align_batch(mp, mi, [s.codes for s in reads])
+    multi = shard.align_batch_sharded(mp, mi, [s.codes for s in reads],
+                                      mesh)
+    assert len(single) == len(multi)
+    for s1, s2 in zip(single, multi):
+        assert (s1 is None) == (s2 is None)
+        if s1 is None:
+            continue
+        assert s1.n_uniq == s2.n_uniq
+        assert len(s1.alns) == len(s2.alns)
+        for a1, a2 in zip(s1.alns, s2.alns):
+            assert a1.mapq == a2.mapq
+            assert a1.aln == a2.aln
