@@ -230,7 +230,8 @@ _OPTS = {
     "A": (0, lambda o, v: setattr(o, "flag", o.flag | MM_COMP)),
     "P": (0, lambda o, v: setattr(o, "flag", o.flag | MM_OMIT_REP)),
     "Q": (0, lambda o, v: setattr(o, "keep_qual", True)),
-    "v": (2, lambda o, v: setattr(o, "verbose", int(v) if v else 1)),
+    # bare -v marks "version requested" (0); -vN sets the level
+    "v": (2, lambda o, v: setattr(o, "verbose", int(v) if v else 0)),
     "h": (0, lambda o, v: setattr(o, "help", o.help + 1)),
     "t": (1, lambda o, v: setattr(o, "nth", int(v))),
     "k": (1, lambda o, v: setattr(o, "k", int(v))),
@@ -316,6 +317,30 @@ def make_params(o: Opts):
     return ip, mp
 
 
+class Log:
+    """Leveled stderr logger in the reference's format
+    (mm_log_printer, minialign.c:2617-2654): 'E'/'W' always shown,
+    numeric levels gated by -v; timestamped messages carry
+    `[L::func::<realtime>*<cpu_ratio>]` headers."""
+
+    def __init__(self, verbose: int):
+        self.verbose = verbose
+        self.t0 = time.time()
+        self.c0 = time.process_time()
+
+    def __call__(self, level, func: str, msg: str, ts: bool = True):
+        if isinstance(level, int) and level > self.verbose:
+            return
+        lc = level if isinstance(level, str) else "M"
+        if ts:
+            rt = time.time() - self.t0
+            cr = (time.process_time() - self.c0) / rt if rt > 0 else 0.0
+            hdr = f"[{lc}::{func}::{rt:.3f}*{cr:.2f}]"
+        else:
+            hdr = f"[{lc}::{func}]"
+        print(f"{hdr} {msg}", file=sys.stderr)
+
+
 def _is_mai(path: str) -> bool:
     return path.endswith(".mai") or path.endswith(".mai.npz") \
         or path.endswith(".npz")
@@ -335,6 +360,64 @@ def _iter_index_blocks(o: Opts, refs: list, ip: IndexParams):
                           [s.codes for s in seqs])
 
 
+_HELP_SHORT = """
+  minialign-tpu - TPU-native long-read alignment engine
+
+Usage:
+  first trial:
+    $ minialign-tpu -t4 -xont.r9.1d ref.fa ont_r9.4_1d.fq > mapping.sam
+
+  mapping on a prebuilt index:
+    $ minialign-tpu [indexing options] -d index.mai ref.fa
+    $ minialign-tpu index.mai reads.fq > mapping.sam
+
+Options:
+  General:
+    -x STR/FILE  load preset params [ont] / load config file
+                   {pacbio.{clr,ccs},ont.{r7,r9}.{1d,1dsq,2d},ava}
+    -t INT       number of threads [1]
+    -d FILE      index construction mode, dump index to FILE
+    -v [INT]     show version number / set verbose level
+  Indexing:
+    -k INT       k-mer size [15]
+    -w INT       minimizer window size [{-k}*2/3]
+    -c STR,...   circular reference name, `*' to mark all as circular []
+  Mapping:
+    -a INT       match award [1]
+    -b INT       mismatch penalty [-1]
+    -e STR,...   score matrix modifier, `GA+3' adds 3 to (r,q)=(G,A) pair
+    -p INT       gap open penalty offset for large indels [1]
+    -q INT       per-base penalty for large indels [1]
+    -r INT[,INT] per-base penalty for small ins[,del] (0 to disable) [0,0]
+    -s INT       minimum score [50]
+    -m INT       minimum score ratio to max [0.30]
+  Output:
+    -O STR       output format {sam,maf,blast6,paf} [sam]
+    -Q           include quality string
+
+  Pass -hh to show all the options.
+"""
+
+_HELP_EXTRA = """
+  Indexing (additional):
+    -B INT       1st stage hash table size base [14]
+    -C INT[,INT] set base rid and qid, `*' to infer from seq. name [0, 0]
+    -L INT       min seq length; 0 to disable [1]
+  Mapping (additional):
+    -f FLOAT,... occurrence thresholds [0.05,0.01,0.001]
+    -Y INT       X-drop threshold [50]
+    -X           all-versus-all mode (map every input against every input)
+  Output (additional):
+    -P           omit secondary (repetitive) alignments
+    -R STR       read group header line, such as `@RG\\tID:1' []
+    -T STR,...   optional tags: {RG,CO,AS,XS,NM,NH,IH,SA,MD} []
+                   RG is also inferred from `-R'
+                   supp. records are omitted when SA is enabled
+                   tags in the input BAM file will also transferred
+                   fasta/q comments are saved in CO tag
+"""
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     o = Opts(arg_line="minialign-tpu " + " ".join(argv))
@@ -342,10 +425,17 @@ def main(argv=None) -> int:
     finalize(o)
     if o.ecnt:
         return 1
+    log = Log(o.verbose)
+    log(1, "main", f"Version: {__version__}, Build: tpu", ts=False)
     if o.help or not o.args:
-        print(f"{VERSION_STRING}\nusage: minialign-tpu [options] "
-              f"ref.fa [reads.fq] > out.sam", file=sys.stderr)
-        return 0 if o.help else 1
+        # bare `minialign -v` prints only the version line and exits 0
+        # (minialign.c:6469-6473); -h / no input also print the help
+        if o.help or o.verbose == 1:
+            print(_HELP_SHORT + (_HELP_EXTRA if o.help > 1 else ""),
+                  file=sys.stderr)
+        # rc parity: -h/-hh and missing-input exit 1, bare -v exits 0
+        # (minialign.c:6469-6473; verified against the binary)
+        return 0 if (not o.help and o.verbose != 1) else 1
 
     t0 = time.time()
     ip, mp = make_params(o)
@@ -360,8 +450,11 @@ def main(argv=None) -> int:
                 ip, [s.name for s in seqs], [s.codes for s in seqs]))
         out = o.fnw if o.fnw.endswith(".npz") else o.fnw + ".npz"
         save_blocks(out, blocks)
-        print(f"[M::main] index saved: {out} ({len(blocks)} block(s))",
-              file=sys.stderr)
+        log(1, "main_index", f"index saved: {out} "
+            f"({len(blocks)} block(s))")
+        log(1, "main", "Command: " + o.arg_line, ts=False)
+        log(1, "main", f"Real time: {time.time() - t0:.3f} sec; "
+            f"CPU: {time.process_time():.3f} sec", ts=False)
         return 0
 
     # align mode (main_align, minialign.c:6365-6446): rt = tail of
@@ -372,8 +465,7 @@ def main(argv=None) -> int:
         rt, qh = len(o.args), 0
     queries = o.args[qh:]
     if not queries:
-        print("[M::main] query-side input redirected to stdin.",
-              file=sys.stderr)
+        log(1, "main_align", "query-side input redirected to stdin.")
         queries = ["-"]
 
     omit = bool(o.flag & MM_OMIT_REP)
@@ -391,6 +483,8 @@ def main(argv=None) -> int:
     engine = FillEngine(mp.score)
     n_reads = 0
     for mi in _iter_index_blocks(o, o.args[:rt], ip):
+        log(9, "main_align", f"loaded/built index for {mi.n_seq} "
+            "target sequence(s).")
         # header per index block (mm_print_header inside the block
         # loop, minialign.c:6425)
         wr.header(mi.names, mi.lens)
@@ -404,8 +498,11 @@ def main(argv=None) -> int:
                 for s, reg in zip(batch, regs):
                     wr.mapped(mi.names, mi.lens, mi.codes, s, reg)
                 n_reads += len(batch)
-    print(f"[M::main] mapped {n_reads} reads in "
-          f"{time.time() - t0:.1f} s", file=sys.stderr)
+            log(9, "main_align", f"finished mapping `{path}'.")
+    log(1, "main_align", f"mapped {n_reads} reads.")
+    log(1, "main", "Command: " + o.arg_line, ts=False)
+    log(1, "main", f"Real time: {time.time() - t0:.3f} sec; "
+        f"CPU: {time.process_time():.3f} sec", ts=False)
     return 0
 
 

@@ -255,3 +255,27 @@ def test_bam_tag_passthrough():
                     f"{DATA}/treads.bam"])
     assert "RG:Z:grp1" in got
     assert "XB:B:-1,2,300," in got
+
+
+@pytest.mark.slow
+def test_ont_preset_sam_byte_identical():
+    got = _run_cli(["-t1", "-xont.r9.4.1d", f"{DATA}/tref.fa",
+                    f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_ont.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_config_file_preset(tmp_path):
+    """Unknown preset names fall back to loading a config file whose
+    contents parse as a command line (mm_opt_load_conf,
+    minialign.c:5817-5840)."""
+    # note: -x splits its argument on '.' before the file fallback
+    # (mm_opt_preset's mm_split_foreach), so config files need
+    # dot-free paths — a reference quirk kept as-is
+    conf = tmp_path / "myconf"
+    conf.write_text("-k15 -w10 -a2\n-b4 -p4 -q2 -r3,3 -Y50 -s50 -m0.3\n")
+    got = _run_cli(["-t1", "-x", str(conf), f"{DATA}/tref.fa",
+                    f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_pacbio.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)

@@ -64,3 +64,48 @@ def test_n_never_matches():
     p = AFFINE_P
     r = oracle_extend(p, enc("NNNN"), enc("NNNN"))
     assert r.score == 0
+
+
+def test_calc_score_matches_traced():
+    """calc_score (gaba_dp_calc_score equivalent) recomputes the traced
+    score exactly for both affine and combined models."""
+    import numpy as np
+
+    from minialign_tpu.dp import band
+    from minialign_tpu.dp.traceback import calc_score, traceback_batch
+    from minialign_tpu.params import ScoreParams
+
+    for p in (ScoreParams(matrix=tuple(2 if (i & 3) == (i >> 2) else -3
+                                       for i in range(16)),
+                          gi=4, ge=1, xdrop=60),
+              ScoreParams(matrix=tuple(2 if (i & 3) == (i >> 2) else -4
+                                       for i in range(16)),
+                          gi=4, ge=2, gfa=3, gfb=3, xdrop=60)):
+        rng = np.random.default_rng(7)
+        B = 6
+        seqs_a, seqs_b = [], []
+        for _ in range(B):
+            L = int(rng.integers(60, 240))
+            a = rng.integers(0, 4, L)
+            b = a.copy()
+            mut = rng.random(L) < 0.10
+            b[mut] = rng.integers(0, 4, int(mut.sum()))
+            seqs_a.append(a)
+            seqs_b.append(b)
+        ab, alen = band.pad_codes(seqs_a)
+        bb, blen = band.pad_codes(seqs_b)
+        fill = band.make_fill(p, 32, max_blocks=24, trace=True)
+        res, bufs = fill(ab, alen, bb, blen)
+        res = type(res)(*(np.asarray(x) for x in res))
+        bufs = type(bufs)(*(np.asarray(x) for x in bufs))
+        trs = traceback_batch(p, 32, bufs, res)
+        checked = 0
+        for k, tr in enumerate(trs):
+            if tr is None or tr.plen == 0:
+                continue
+            got = calc_score(p, tr.path, np.asarray(seqs_a[k]),
+                             np.asarray(seqs_b[k]))
+            assert got["score"] == tr.score, k
+            assert got["agcnt"] == tr.agcnt and got["bgcnt"] == tr.bgcnt
+            checked += 1
+        assert checked >= 4
