@@ -12,5 +12,15 @@ throughout as file:line. This package is a new TPU-first design, not a
 translation.
 """
 
+import os as _os
+
+# persistent XLA compilation cache: the fill kernel compiles one
+# variant per (W, shape-bucket, trace) — expensive (tens of seconds on
+# remote-compile backends) but fully reusable across runs
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/minialign_tpu_jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
 __version__ = "0.1.0"
 VERSION_STRING = "minialign-tpu-0.1.0"

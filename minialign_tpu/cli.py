@@ -69,7 +69,10 @@ _FORMATS = {"sam": FMT_SAM, "maf": FMT_MAF, "blast6": FMT_BLAST6,
 @dataclasses.dataclass
 class Opts:
     nth: int = 1
-    batch_size: int = 512 * 1024
+    # read-batch size in bases (-1). The reference uses 512 KiB
+    # (minialign.c:6152); a TPU batch pipeline wants far more reads in
+    # flight per round, and the value has no output-visible effect
+    batch_size: int = 8 * 1024 * 1024
     min_len: int = 1
     keep_qual: bool = False
     verbose: int = 1

@@ -168,8 +168,11 @@ class FillEngine:
             # tunneled TPU may report its own platform name)
             use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = use_pallas
+        # max problems per dispatch; the pallas kernel grids over
+        # 128-lane chunks inside ONE launch, so big batches amortize
+        # the per-dispatch cost (~30 ms RPC on tunneled backends)
         self.batch = batch if batch is not None else \
-            (128 if use_pallas else 32)
+            (512 if use_pallas else 32)
         self._fns = {}
 
     @staticmethod
@@ -193,6 +196,62 @@ class FillEngine:
                                                 trace=trace)
         return self._fns[key]
 
+    _OPS_FWD = np.array(["", "D", "R", "RD"])
+    _OPS_REV = np.array(["", "D", "R", "DR"])
+
+    def _trace_device(self, out, reqs, sub, W, res_d, bufs):
+        """TPU trace path: the mask walk runs ON DEVICE (dp/dtrace) so
+        the big mask buffers never cross the device->host link; only
+        backward op codes + counters transfer (~50x less)."""
+        from .dp.dtrace import make_device_traceback
+        from .dp.traceback import TraceResult, _identity
+
+        key = ("dtrace", W)
+        if key not in self._fns:
+            self._fns[key] = make_device_traceback(self.p, W)
+        dt = self._fns[key]
+        ops_d, n_ops_d, counts_d, bad_d = dt(
+            bufs.masks, bufs.dirs, bufs.iheads[:, 0],
+            res_d.max_score, res_d.max_i, res_d.max_j)
+
+        nreal = len(sub)
+        ms = np.asarray(res_d.max_score)
+        mi = np.asarray(res_d.max_i)
+        mj = np.asarray(res_d.max_j)
+        n_ops = np.asarray(n_ops_d[:nreal])
+        tmax = int(n_ops.max()) if nreal else 0
+        ops = np.asarray(ops_d[:tmax, :nreal])
+        counts = {k: np.asarray(v[:nreal]) for k, v in counts_d.items()}
+        bad = np.asarray(bad_d[:nreal])
+
+        p = self.p
+        for s, i in enumerate(sub):
+            score = int(ms[s])
+            ai, bj = int(mi[s]), int(mj[s])
+            if score <= 0 or (ai == 0 and bj == 0):
+                tr = TraceResult(score=max(score, 0), alen=0, blen=0,
+                                 path="", path_rev="", dcnt=0, agcnt=0,
+                                 bgcnt=0, identity=0.0, gap_penalty=0)
+            elif bad[s]:
+                tr = None
+            else:
+                col = ops[:n_ops[s], s]
+                path = "".join(self._OPS_FWD[col])[::-1]
+                path_rev = "".join(self._OPS_REV[col])
+                dcnt = int(counts["dcnt"][s])
+                gap_penalty = (int(counts["n_open"][s]) * p.gi
+                               + int(counts["n_ext"][s]) * p.ge
+                               + int(counts["gf_pen"][s]))
+                tr = TraceResult(
+                    score=score, alen=ai, blen=bj, path=path,
+                    path_rev=path_rev, dcnt=dcnt,
+                    agcnt=int(counts["agcnt"][s]),
+                    bgcnt=int(counts["bgcnt"][s]),
+                    identity=_identity(p, score, dcnt,
+                                       int(counts["e_pen"][s])),
+                    gap_penalty=gap_penalty)
+            out[i] = (score, ai, bj, tr)
+
     def run(self, reqs: list) -> list:
         """reqs: list of (kind, a_codes, b_codes, W) with kind 'down' or
         'up'. Returns per-request (score, mi, mj, trace_or_None)."""
@@ -206,7 +265,11 @@ class FillEngine:
             fn = self._fn(W, la, lb, trace)
             for base in range(0, len(idxs), self.batch):
                 sub = idxs[base:base + self.batch]
-                B = self.batch
+                # pad to the kernel's chunk granularity, not the full
+                # cap (padded problems cost nothing: they hit their p
+                # limit within the first segments)
+                gran = 128 if self.use_pallas else self.batch
+                B = max(gran, -(-len(sub) // gran) * gran)
                 ab = np.full((B, la), band.NCODE, np.int8)
                 bb = np.full((B, lb), band.NCODE, np.int8)
                 alen = np.zeros(B, np.int32)
@@ -218,18 +281,26 @@ class FillEngine:
                     alen[s] = len(a)
                     blen[s] = len(b)
                 if trace:
-                    res, bufs = fn(ab, alen, bb, blen)
-                    res = type(res)(*(np.asarray(x) for x in res))
+                    import os
+                    res_d, bufs = fn(ab, alen, bb, blen)
+                    if self.use_pallas and \
+                            not os.environ.get("MINIALIGN_HOST_TRACE"):
+                        self._trace_device(out, reqs, sub, W, res_d,
+                                           bufs)
+                        continue
+                    res = type(res_d)(*(np.asarray(x) for x in res_d))
                     # the traceback walks backward from the max and
                     # never past it: ship only the reachable blocks
                     # (the full buffers are 10-100x larger and the
                     # device->host link is the E2E bottleneck)
-                    nblk = int((res.max_i + res.max_j).max()) \
+                    nreal = len(sub)
+                    nblk = int((res.max_i[:nreal]
+                                + res.max_j[:nreal]).max()) \
                         // band.BLK + 2
                     nblk = min(-(-nblk // 32) * 32, bufs.dirs.shape[1])
-                    masks = np.asarray(bufs.masks[:, :nblk])
-                    dirs = np.asarray(bufs.dirs[:, :nblk])
-                    iheads = np.asarray(bufs.iheads)
+                    masks = np.asarray(bufs.masks[:nreal, :nblk])
+                    dirs = np.asarray(bufs.dirs[:nreal, :nblk])
+                    iheads = np.asarray(bufs.iheads[:nreal])
                     for s, i in enumerate(sub):
                         tr = traceback_one(
                             self.p, W, masks[s], dirs[s], iheads[s],
