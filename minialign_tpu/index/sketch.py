@@ -105,6 +105,11 @@ def sketch(codes: np.ndarray, k: int, w: int):
     the k-mer start position, and the strand bit. Ordered by emission
     (ascending position).
     """
+    from .. import native
+    if native.available():
+        r = native.sketch_seq(codes, k, w)
+        if r is not None:
+            return r
     h, strand = hash_stream(codes, k)
     n = len(h)
     if n == 0:

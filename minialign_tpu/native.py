@@ -150,3 +150,31 @@ def parse_fastx(data: bytes, keep_qual: bool, min_len: int):
     if n < 0:
         return None
     return recs[:n], codes
+
+
+def _bind_sketch(lib):
+    if hasattr(lib, "_sketch_bound"):
+        return
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.sketch_seq.restype = ctypes.c_int64
+    lib.sketch_seq.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32,
+                               ctypes.c_int32, u64p, i64p, u8p]
+    lib._sketch_bound = True
+
+
+def sketch_seq(codes: np.ndarray, k: int, w: int):
+    """(w,k)-minimizer sketch (mm_sketch parity); None if unavailable."""
+    lib = _load()
+    if lib is None or w > 64:
+        return None
+    _bind_sketch(lib)
+    c = np.ascontiguousarray(np.asarray(codes) & 3, np.int8)
+    L = len(c)
+    h = np.empty(max(L, 1), np.uint64)
+    pos = np.empty(max(L, 1), np.int64)
+    st = np.empty(max(L, 1), np.uint8)
+    n = lib.sketch_seq(c, L, k, w, h, pos, st)
+    return h[:n], pos[:n], st[:n]

@@ -374,4 +374,78 @@ int64_t parse_fastx(const uint8_t* data, int64_t len, int keep_qual,
   return nrec;
 }
 
+// ---------------------------------------------------------------------------
+// (w,k)-minimizer sketch (mm_sketch, minialign.c:2349-2448; exact
+// parity with index/sketch.py including the tie and emission rules)
+// ---------------------------------------------------------------------------
+
+static uint32_t crc_table[256];
+static bool crc_init_done = false;
+static void crc_init() {
+  if (crc_init_done) return;
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t c = i;
+    for (int b = 0; b < 8; b++) c = (c >> 1) ^ ((c & 1) ? 0x82F63B78u : 0);
+    crc_table[i] = c;
+  }
+  crc_init_done = true;
+}
+
+static inline uint64_t crc32c_u64(uint64_t crc, uint64_t val) {
+  uint32_t r = (uint32_t)crc;
+  for (int i = 0; i < 8; i++) {
+    uint32_t byte = (uint32_t)((val >> (8 * i)) & 0xFF);
+    r = (r >> 8) ^ crc_table[(r ^ byte) & 0xFF];
+  }
+  return (uint64_t)r;
+}
+
+// codes: (L,) 2-bit codes. Emits (hash, pos, strand) minimizer
+// occurrences; returns the count. Output buffers sized >= L.
+int64_t sketch_seq(const int8_t* codes, int64_t L, int32_t k, int32_t w,
+                   uint64_t* out_h, int64_t* out_pos,
+                   uint8_t* out_strand) {
+  crc_init();
+  int64_t n = L - k + 1;
+  if (n <= 0 || w > 64) return 0;
+  const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int shift1 = 2 * (k - 1);
+  std::vector<uint64_t> ring((size_t)w, ~0ULL);   // v ring, head-clipped
+  uint64_t k0 = 0, k1 = 0;
+  uint64_t prev = 0;                              // previous window min
+  int64_t cnt = 0;
+  for (int64_t i = 0; i < L; i++) {
+    uint64_t c = (uint64_t)(codes[i] & 3);
+    k0 = ((k0 << 2) | c) & mask;
+    k1 = (k1 >> 2) | ((3ULL ^ c) << shift1);
+    if (i < k - 1) continue;
+    int64_t p = i - (k - 1);                      // k-mer start pos
+    uint64_t strand = (k1 & mask) < k0 ? 1 : 0;
+    uint64_t km = strand ? (k1 & mask) : k0;
+    uint64_t kx = strand ? k0 : (k1 & mask);
+    uint64_t h = (crc32c_u64(kx, kx) ^ km) & mask;
+    uint64_t v = (h << 8) | ((uint64_t)(p % w)) | (strand << 7);
+    ring[(size_t)(p % w)] = v;
+    // window min with LAST-occurrence tie priority in window order
+    // (oldest..newest); window covers positions [p-w+1, p]
+    uint64_t vmin = ~0ULL;
+    int64_t pos_min = p;
+    for (int64_t d = w - 1; d >= 0; d--) {
+      int64_t pj = p - d;
+      uint64_t vv = (pj < 0) ? ~0ULL : ring[(size_t)(((pj % w) + w) % w)];
+      if (vv <= vmin) { vmin = vv; pos_min = pj; }
+    }
+    bool emit = (vmin != prev) || (vmin == v);
+    int64_t pos = (vmin == v) ? p : pos_min;
+    if (emit) {
+      out_h[cnt] = vmin >> 8;
+      out_pos[cnt] = pos;
+      out_strand[cnt] = (uint8_t)((vmin >> 7) & 1);
+      cnt++;
+    }
+    prev = vmin;
+  }
+  return cnt;
+}
+
 }  // extern "C"

@@ -108,3 +108,17 @@ def test_traceback_parity():
         if got is None:
             continue
         assert got == want, f"problem {k}"
+
+
+def test_sketch_parity():
+    from minialign_tpu.index import sketch as sk
+    rng = np.random.default_rng(9)
+    for trial in range(20):
+        L = int(rng.integers(1, 800))
+        k = int(rng.choice([5, 11, 15, 19]))
+        w = int(rng.choice([1, 2, 5, 10, 16]))
+        codes = rng.integers(0, 4, L).astype(np.int64)
+        got = sk.sketch(codes, k, w)
+        want = _fallback(sk, sk.sketch, codes, k, w)
+        for g, w_ in zip(got, want):
+            np.testing.assert_array_equal(g, w_), (trial, L, k, w)
