@@ -48,7 +48,7 @@ def mutate(rng, a, wband):
 
 
 @pytest.mark.parametrize("pname", list(PARAMS))
-@pytest.mark.parametrize("W", [32, 64])
+@pytest.mark.parametrize("W", [16, 32, 64])
 def test_cross_band_vs_oracle(pname, W):
     p = PARAMS[pname]
     import zlib

@@ -33,10 +33,12 @@ def mutate(rng, a, wband):
     return np.asarray(out, np.int64)
 
 
-@pytest.mark.parametrize("pname,W", [("affine", 64), ("combined", 32)])
+@pytest.mark.parametrize("pname,W", [("affine", 64), ("combined", 32),
+                                     ("linear", 16)])
 def test_pallas_matches_xla(pname, W):
     p = {"affine": simple(2, 3, 5, 1),
-         "combined": simple(2, 4, 4, 2, gfa=3, gfb=3)}[pname]
+         "combined": simple(2, 4, 4, 2, gfa=3, gfb=3),
+         "linear": simple(1, 2, 0, 1)}[pname]
     rng = np.random.default_rng(13)
     B = 8
     seqs_a = [rng.integers(0, 4, int(rng.integers(40, 250)))
