@@ -104,3 +104,23 @@ def test_occ_thresholds_monotone():
     g = np.tile(rng.integers(0, 4, 100), 20).astype(np.int8)  # repetitive
     mi = build_index(IndexParams(k=11, w=5), ["rep"], [g])
     assert mi.occ[0] >= mi.occ[1] >= mi.occ[2] >= 1
+
+
+def test_sketch_jax_matches_host():
+    """Device (JAX) sketch vs the host implementation: identical
+    minimizer streams across (k, w)."""
+    import numpy as np
+
+    from minialign_tpu.index.sketch import sketch
+    from minialign_tpu.index.sketch_jax import sketch_jax
+
+    rng = np.random.default_rng(31)
+    for _ in range(12):
+        L = int(rng.integers(30, 1200))
+        k = int(rng.choice([7, 11, 15]))
+        w = int(rng.choice([2, 5, 10, 16]))
+        codes = rng.integers(0, 4, L).astype(np.int64)
+        got = sketch_jax(codes, k, w)
+        want = sketch(codes, k, w)
+        for g, wv in zip(got, want):
+            np.testing.assert_array_equal(g, wv)
