@@ -279,3 +279,25 @@ def test_config_file_preset(tmp_path):
                     f"{DATA}/treads.fq"])
     want = open(f"{DATA}/ref_pacbio.sam").read()
     assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_matrix_modifier_sam_byte_identical():
+    """BASELINE config 3: custom scoring with a -e score-matrix
+    modifier (non-uniform matrix -> the 16-term substitution select
+    chain in the fill kernels)."""
+    got = _run_cli(["-t1", "-a2", "-b5", "-p5", "-q1", "-r3,3",
+                    "-eGA+3", f"{DATA}/tref.fa", f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_emod.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_ont1dsq_circular_sa_md():
+    """BASELINE config 4: ONT 1Dsq preset + circular reference +
+    SA/MD tags (MD on reverse strand carries the reference bug,
+    PARITY.md item 1 — stripped)."""
+    got = _run_cli(["-t1", "-xont.1dsq", "-cplasmid", "-TSA,MD",
+                    f"{DATA}/cplas.fa", f"{DATA}/creads.fq"])
+    want = open(f"{DATA}/ref_ont1dsq_circ.sam").read()
+    assert _strip_md(_strip_pg(got)) == _strip_md(_strip_pg(want))
