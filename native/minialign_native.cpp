@@ -289,7 +289,10 @@ int64_t parse_fastx(const uint8_t* data, int64_t len, int keep_qual,
   while (i < len) {
     if (data[i] != (fastq ? '@' : '>')) { i++; continue; }
     i++;
-    // header: name token, comment remainder (stripped)
+    // header: name token (leading separators skipped, as the
+    // reference's state machine does for "> name" headers), comment
+    // remainder (stripped)
+    while (i < len && (data[i] == ' ' || data[i] == '\t')) i++;
     int64_t name_off = i;
     while (i < len && data[i] != ' ' && data[i] != '\t' &&
            data[i] != '\n' && data[i] != '\r') i++;

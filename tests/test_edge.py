@@ -82,3 +82,43 @@ def test_min_len_filter(tmp_path):
                  "@b\nACG\n+\nIII\n")
     from minialign_tpu.io import bseq
     assert len(list(bseq.read_seqs(str(q), min_len=10))) == 1
+
+
+def test_bseq_fasta_spec(tmp_path):
+    """The reference's (disabled) bseq.fasta unittest literals
+    (minialign.c:2166-2226): space-after-'>', CRLF, empty lines,
+    trailing-space comments."""
+    from minialign_tpu.io import bseq
+    fa = tmp_path / "spec.fa"
+    fa.write_bytes(b">test0\nAAAA\n"
+                   b"> test1\nATAT\nCGCG\r\n\r\n"
+                   b">  test2\n\nAAAA\n"
+                   b">test3 comment comment  \nACGT\n\n")
+    seqs = list(bseq.read_seqs(str(fa), tags=("CO",)))
+    assert [s.name for s in seqs] == ["test0", "test1", "test2", "test3"]
+    assert list(seqs[0].codes) == [0, 0, 0, 0]
+    assert list(seqs[1].codes) == [0, 3, 0, 3, 1, 2, 1, 2]
+    assert list(seqs[2].codes) == [0, 0, 0, 0]
+    assert list(seqs[3].codes) == [0, 1, 2, 3]
+    assert seqs[3].tags == ["CO:Z:comment comment"]
+    assert seqs[0].tags == []
+
+
+def test_bseq_fastq_spec(tmp_path):
+    """The reference's (disabled) bseq.fastq unittest literals
+    (minialign.c:2228-2290): '+' lines with text, quals containing
+    '@'/'+', multi-line seq and qual, empty lines."""
+    from minialign_tpu.io import bseq
+    fq = tmp_path / "spec.fq"
+    fq.write_bytes(b"@test0\nAAAA\n+test0\nNNNN\n"
+                   b"@ test1\nATAT\nCGCG\n+ test1\n12+3\n+123\r\n"
+                   b"@  test2\n\nAAAA\n+  test2\n\n\n12@3\n\n"
+                   b"@test3  comment comment   \nACGT\n\n+ test3\n@123")
+    seqs = list(bseq.read_seqs(str(fq), keep_qual=True, tags=("CO",)))
+    assert [s.name for s in seqs] == ["test0", "test1", "test2", "test3"]
+    assert list(seqs[1].codes) == [0, 3, 0, 3, 1, 2, 1, 2]
+    assert seqs[0].qual == b"NNNN"
+    assert seqs[1].qual == b"12+3+123"
+    assert seqs[2].qual == b"12@3"
+    assert seqs[3].qual == b"@123"
+    assert seqs[3].tags == ["CO:Z:comment comment"]
