@@ -301,3 +301,23 @@ def test_ont1dsq_circular_sa_md():
                     f"{DATA}/cplas.fa", f"{DATA}/creads.fq"])
     want = open(f"{DATA}/ref_ont1dsq_circ.sam").read()
     assert _strip_md(_strip_pg(got)) == _strip_md(_strip_pg(want))
+
+
+@pytest.mark.slow
+def test_multichrom_sam_byte_identical():
+    """Multi-sequence reference: per-rid chaining boundaries, multiple
+    @SQ lines, cross-chromosome secondary suppression."""
+    got = _run_cli(["-t1", f"{DATA}/mref.fa", f"{DATA}/mreads.fq"])
+    want = open(f"{DATA}/ref_multi.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_repetitive_sam_byte_identical():
+    """Tandem-repeat reference: occurrence-tier rescue rounds
+    (mm_seed round > 0), many secondary records, prune/supp boundaries
+    under heavy multi-mapping."""
+    got = _run_cli(["-t1", "-xpacbio", f"{DATA}/repref.fa",
+                    f"{DATA}/repreads.fq"])
+    want = open(f"{DATA}/ref_rep.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
