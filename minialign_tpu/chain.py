@@ -152,6 +152,18 @@ def chain_seeds(seeds: np.ndarray, twlen: int,
     minialign.c:3718). When lens/circular are given, chains whose tail
     reaches near the end of a circular reference are stitched to chains
     starting at its origin (mm_circularize, minialign.c:3632-3695)."""
+    from . import native
+    if native.available():
+        zl = np.zeros(1, np.int64) if lens is None else lens
+        zc = np.zeros(len(zl), np.uint8) if circular is None \
+            else np.asarray(circular, np.uint8)
+        rows = native.chain_seeds(seeds, twlen, zl, zc)
+        if rows is not None:
+            out = [Chain(plen=int(r[0]), root_sid=int(r[1]),
+                         leaf_sid=int(r[2])) for r in rows if r[0] >= 0]
+            out.sort(key=lambda c: -c.plen)
+            return out
+
     n = len(seeds)
     up, rid, vp = seeds[:, 0], seeds[:, 1], seeds[:, 2]
     lid_of = np.full(n, -1, np.int64)       # seed -> owning leaf

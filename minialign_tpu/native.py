@@ -178,3 +178,36 @@ def sketch_seq(codes: np.ndarray, k: int, w: int):
     st = np.empty(max(L, 1), np.uint8)
     n = lib.sketch_seq(c, L, k, w, h, pos, st)
     return h[:n], pos[:n], st[:n]
+
+
+def _bind_chain(lib):
+    if hasattr(lib, "_chain_bound"):
+        return
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.chain_seeds_c.restype = ctypes.c_int64
+    lib.chain_seeds_c.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
+                                  i64p, u8p, ctypes.c_int64,
+                                  i64p, ctypes.c_int64]
+    lib._chain_bound = True
+
+
+def chain_seeds(seeds: np.ndarray, twlen: int, lens: np.ndarray,
+                circ: np.ndarray):
+    """Greedy seed chaining (+circularize). Returns (n, 3) int64 rows
+    [plen, root_sid, leaf_sid] in creation order (consumed chains have
+    plen = -1), or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_chain(lib)
+    seeds = np.ascontiguousarray(seeds, np.int64)
+    n = len(seeds)
+    lens = np.ascontiguousarray(lens, np.int64)
+    circ = np.ascontiguousarray(circ, np.uint8)
+    out = np.empty((max(n, 1), 3), np.int64)
+    cnt = lib.chain_seeds_c(seeds.reshape(-1), n, twlen, lens, circ,
+                            len(lens), out.reshape(-1), len(out))
+    if cnt < 0:
+        return None
+    return out[:cnt]

@@ -19,6 +19,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <vector>
 
 extern "C" {
@@ -73,8 +74,9 @@ int trace_one(const uint32_t* masks, const uint32_t* dirs,
                               + mi * 2;
     return (w[qq >> 5] >> (qq & 31)) & 1;
   };
-  // mask indices (dp/band.py: M_GFA, M_F, M_GFB, M_E, M_FO, M_EO)
-  const int M_GFA = 0, M_F = 1, M_GFB = 2, M_E = 3, M_FO = 4, M_EO = 5;
+  // mask indices (dp/band.py: MK_GFA, MK_F, M_GFB, M_E, M_FO, M_EO)
+  const int MK_GFA = 0, MK_F = 1, MK_GFB = 2, MK_E = 3,
+            MK_FO = 4, MK_EO = 5;
   const int W = tp->W;
   const int64_t gi = tp->gi, ge = tp->ge;
 
@@ -121,26 +123,26 @@ int trace_one(const uint32_t* masks, const uint32_t* dirs,
       break;
     }
     if (!(0 <= q && q < W)) { out->status = 1; return 1; }
-    if (j > 1 && mbit(pp, M_GFA, q)) {
+    if (j > 1 && mbit(pp, MK_GFA, q)) {
       ops.push_back('D'); bgcnt++; gf_pen += tp->gfa_eff;
       move_f();
-    } else if (mbit(pp, M_F, q)) {
+    } else if (mbit(pp, MK_F, q)) {
       n_open++;
       while (true) {
-        int fo = mbit(pp, M_FO, q);
+        int fo = mbit(pp, MK_FO, q);
         ops.push_back('D'); bgcnt++; n_ext++;
         move_f();
         if (fo || j <= 0) break;
         if (!(0 <= q && q < W)) { out->status = 1; return 1; }
       }
-    } else if (i > 1 && mbit(pp, M_GFB, q)) {
+    } else if (i > 1 && mbit(pp, MK_GFB, q)) {
       ops.push_back('R'); agcnt++; gf_pen += tp->gfb_eff;
       e_pen += tp->gfb_eff;
       move_e();
-    } else if (mbit(pp, M_E, q)) {
+    } else if (mbit(pp, MK_E, q)) {
       n_open++; e_pen += gi;
       while (true) {
-        int eo = mbit(pp, M_EO, q);
+        int eo = mbit(pp, MK_EO, q);
         ops.push_back('R'); agcnt++; n_ext++; e_pen += ge;
         move_e();
         if (eo || i <= 0) break;
@@ -447,6 +449,160 @@ int64_t sketch_seq(const int8_t* codes, int64_t L, int32_t k, int32_t w,
       cnt++;
     }
     prev = vmin;
+  }
+  return cnt;
+}
+
+// ---------------------------------------------------------------------------
+// seed chaining (mm_chain_seeds + mm_circularize; exact parity with
+// chain.py's port of minialign.c:3547-3695)
+// ---------------------------------------------------------------------------
+
+// seeds: (n, 3) int64 rows [upos, rid, vpos], sorted by (rid, upos).
+// lens: per-rid lengths; circ: per-rid circular flags (may be null).
+// out_chains: (max_chains, 3) int64 rows [plen, root_sid, leaf_sid],
+// written in chain-creation order including consumed chains as
+// plen = -1. Returns the chain count.
+int64_t chain_seeds_c(const int64_t* seeds, int64_t n, int64_t twlen,
+                      const int64_t* lens, const uint8_t* circ,
+                      int64_t n_rid,
+                      int64_t* out_chains, int64_t max_chains) {
+  auto up = [&](int64_t i) { return seeds[i * 3 + 0]; };
+  auto rid = [&](int64_t i) { return seeds[i * 3 + 1]; };
+  auto vp = [&](int64_t i) { return seeds[i * 3 + 2]; };
+
+  std::vector<int64_t> lid_of((size_t)n, -1);
+  struct Leaf { int64_t rsid, lsid, rid, cid; };
+  std::vector<Leaf> leaves;
+  struct Chain { int64_t plen, lid; bool consumed; };
+  std::vector<Chain> chains;
+
+  int64_t nlsid = 0;
+  while (nlsid < n) {
+    int64_t lid = (int64_t)leaves.size();
+    leaves.push_back({nlsid, nlsid, rid(nlsid), -1});
+    int64_t plen0 = up(nlsid) + vp(nlsid);
+    int64_t scnt = 1;
+    int64_t nrsid = nlsid;
+    int64_t nlsid_next = -1;
+
+    while (true) {
+      int64_t rsid = nrsid;
+      int64_t v0 = vp(rsid);
+      int64_t vub = v0 + twlen;
+      int64_t uub = up(rsid) + twlen;
+      int64_t r0 = rid(rsid);
+      int64_t best = -1;
+      int64_t sid = rsid + 1;
+      while (sid < n) {
+        if (rid(sid) > r0 || up(sid) > uub) {
+          if (nlsid_next < 0) nlsid_next = sid;
+          else if (sid < nlsid_next) nlsid_next = sid;
+          break;
+        }
+        int64_t fv_v = vp(sid), fv_u = up(sid);
+        if (!(fv_v > v0 && fv_v <= vub)) {
+          if (nlsid_next < 0) nlsid_next = sid;
+          else if (sid < nlsid_next) nlsid_next = sid;
+          sid++;
+          continue;
+        }
+        int64_t new_uub = uub - (vub - fv_v);
+        int64_t new_vub = vub - (uub - fv_u);
+        uub = new_uub; vub = new_vub;
+        best = sid;
+        sid++;
+      }
+      if (sid >= n && nlsid_next < 0) nlsid_next = n;
+      if (best < 0) { nrsid = rsid; break; }
+      int64_t nsid = best;
+      if (lid_of[(size_t)nsid] != -1) { nrsid = nsid; break; }
+      lid_of[(size_t)nsid] = lid;
+      scnt++;
+      nrsid = nsid;
+      if (nlsid_next >= 0 && nlsid_next <= nrsid) nlsid_next = -1;
+    }
+    nlsid = nlsid_next >= 0 ? nlsid_next : n;
+
+    if (nrsid == leaves[(size_t)lid].lsid) continue;  // nothing linked
+
+    int64_t cid = -1;
+    if (lid_of[(size_t)nrsid] != -1 && lid_of[(size_t)nrsid] < lid) {
+      int64_t other = lid_of[(size_t)nrsid];
+      nrsid = leaves[(size_t)other].rsid;
+      int64_t owner = lid_of[(size_t)nrsid];
+      if (owner != -1) cid = leaves[(size_t)owner].cid;
+    }
+    if (cid == -1) {
+      cid = (int64_t)chains.size();
+      chains.push_back({0, lid, false});
+    }
+    leaves[(size_t)lid].cid = cid;
+    leaves[(size_t)lid].rsid = nrsid;
+
+    double f = 1.0 - 1.0 / (double)scnt;
+    int64_t plen = (int64_t)(f * (double)((up(nrsid) + vp(nrsid))
+                                          - plen0));
+    if (plen > chains[(size_t)cid].plen)
+      chains[(size_t)cid] = {plen, lid, false};
+  }
+
+  // ---- circularize (chain.py _circularize)
+  bool any_circ = false;
+  if (circ) for (int64_t r = 0; r < n_rid; r++) any_circ |= circ[r];
+  if (any_circ && !chains.empty()) {
+    int64_t blid = 0, tlid = (int64_t)leaves.size();
+    for (size_t rcid = 0; rcid < chains.size(); rcid++) {
+      int64_t rlid = chains[rcid].lid;
+      int64_t rsid = leaves[(size_t)rlid].rsid;
+      int64_t rr = leaves[(size_t)rlid].rid;
+      int64_t rlen = lens[rr];
+      // x = _as(seed): trunc((2*ub + vb)/3) with ub/vb bare coords
+      const int64_t OFS = 0x40000000;
+      int64_t ub_ = up(rsid) - OFS, vb_ = vp(rsid) - OFS;
+      int64_t num = 2 * ub_ + vb_;
+      int64_t x0 = num / 3;             // C99 trunc division
+      if (!circ[rr] || rlen - x0 > twlen) continue;
+      int64_t uofs = 2 * rlen, vofs = -rlen;
+      int64_t v0 = vp(rsid), u0 = up(rsid);
+      int64_t vlb = v0 - vofs, vub = v0 - vofs + twlen;
+      int64_t uub = u0 + twlen - uofs;
+
+      while (blid < tlid &&
+             rid(leaves[(size_t)blid].lsid) < rr) blid++;
+      while (blid < tlid &&
+             vp(leaves[(size_t)blid].lsid) > vub) blid++;
+
+      int64_t best_plen = -1, best_lid = -1;
+      for (int64_t lid2 = blid; lid2 < tlid; lid2++) {
+        int64_t lsid = leaves[(size_t)lid2].lsid;
+        int64_t lv = vp(lsid), lu = up(lsid), lr = rid(lsid);
+        if (!(lv > vlb && lv <= vub && lr <= rr && lu <= uub)) continue;
+        int64_t cid2 = leaves[(size_t)lid2].cid;
+        if (cid2 == -1 || chains[(size_t)cid2].consumed ||
+            chains[(size_t)cid2].plen < 0) continue;
+        int64_t pl = chains[(size_t)cid2].plen;
+        if (pl > best_plen ||
+            (pl == best_plen && lid2 < best_lid)) {
+          best_plen = pl; best_lid = lid2;
+        }
+      }
+      if (best_lid < 0) continue;
+      int64_t lcid = leaves[(size_t)best_lid].cid;
+      chains[(size_t)lcid].lid = rlid;
+      chains[(size_t)lcid].consumed = true;
+      if ((size_t)lcid != rcid) chains[rcid].plen += best_plen;
+      leaves[(size_t)rlid].rsid = leaves[(size_t)best_lid].rsid;
+    }
+  }
+
+  int64_t cnt = (int64_t)chains.size();
+  if (cnt > max_chains) return -1;
+  for (int64_t c = 0; c < cnt; c++) {
+    const Chain& ch = chains[(size_t)c];
+    out_chains[c * 3 + 0] = ch.consumed ? -1 : ch.plen;
+    out_chains[c * 3 + 1] = leaves[(size_t)ch.lid].rsid;
+    out_chains[c * 3 + 2] = leaves[(size_t)ch.lid].lsid;
   }
   return cnt;
 }

@@ -122,3 +122,28 @@ def test_sketch_parity():
         want = _fallback(sk, sk.sketch, codes, k, w)
         for g, w_ in zip(got, want):
             np.testing.assert_array_equal(g, w_), (trial, L, k, w)
+
+
+def test_chain_parity():
+    from minialign_tpu import chain as ch
+    rng = np.random.default_rng(41)
+    for trial in range(25):
+        n = int(rng.integers(2, 300))
+        n_rid = int(rng.integers(1, 4))
+        rid = np.sort(rng.integers(0, n_rid, n))
+        up = np.empty(n, np.int64)
+        for r in range(n_rid):
+            m = rid == r
+            up[m] = np.sort(rng.integers(0, 4000, int(m.sum()))) + ch.OFS
+        vp = rng.integers(0, 4000, n) + ch.OFS
+        order = np.lexsort((np.arange(n), up, rid))
+        seeds = np.stack([up[order], rid[order],
+                          vp[order]], axis=1).astype(np.int64)
+        lens = rng.integers(2000, 6000, n_rid).astype(np.int64)
+        circ = rng.integers(0, 2, n_rid).astype(np.uint8)
+        twlen = int(rng.choice([50, 300, 1000]))
+        got = ch.chain_seeds(seeds, twlen, lens=lens, circular=circ)
+        want = _fallback(ch, ch.chain_seeds, seeds, twlen,
+                         lens=lens, circular=circ)
+        assert [(c.plen, c.root_sid, c.leaf_sid) for c in got] == \
+            [(c.plen, c.root_sid, c.leaf_sid) for c in want], trial
