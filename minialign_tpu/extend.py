@@ -199,12 +199,13 @@ class FillEngine:
     _OPS_FWD = np.array(["", "D", "R", "RD"])
     _OPS_REV = np.array(["", "D", "R", "DR"])
 
-    def _trace_device(self, out, reqs, sub, W, res_d, bufs):
-        """TPU trace path: the mask walk runs ON DEVICE (dp/dtrace) so
-        the big mask buffers never cross the device->host link; only
-        backward op codes + counters transfer (~50x less)."""
+    def _trace_device_dispatch(self, sub, W, res_d, bufs):
+        """TPU trace path, dispatch half: the mask walk runs ON DEVICE
+        (dp/dtrace) so the big mask buffers never cross the
+        device->host link; only backward op codes + counters transfer
+        (~50x less). No host sync happens here — callers harvest later
+        so dispatches across buckets pipeline through the link."""
         from .dp.dtrace import make_device_traceback
-        from .dp.traceback import TraceResult, _identity
 
         key = ("dtrace", W)
         if key not in self._fns:
@@ -213,7 +214,13 @@ class FillEngine:
         ops_d, n_ops_d, counts_d, bad_d = dt(
             bufs.masks, bufs.dirs, bufs.iheads[:, 0],
             res_d.max_score, res_d.max_i, res_d.max_j)
+        return (sub, W, res_d, ops_d, n_ops_d, counts_d, bad_d)
 
+    def _trace_device_harvest(self, out, pend):
+        from .dp.traceback import TraceResult, _identity
+
+        sub, W, res_d, ops_d, n_ops_d, counts_d, bad_d = pend
+        p = self.p
         nreal = len(sub)
         ms = np.asarray(res_d.max_score)
         mi = np.asarray(res_d.max_i)
@@ -224,7 +231,6 @@ class FillEngine:
         counts = {k: np.asarray(v[:nreal]) for k, v in counts_d.items()}
         bad = np.asarray(bad_d[:nreal])
 
-        p = self.p
         for s, i in enumerate(sub):
             score = int(ms[s])
             ai, bj = int(mi[s]), int(mj[s])
@@ -256,6 +262,8 @@ class FillEngine:
         """reqs: list of (kind, a_codes, b_codes, W) with kind 'down' or
         'up'. Returns per-request (score, mi, mj, trace_or_None)."""
         out = [None] * len(reqs)
+        pending = []            # deferred device-trace harvests
+        pending_plain = []      # deferred no-trace materializations
         groups = {}
         for i, (kind, a, b, W) in enumerate(reqs):
             la = self._bucket(len(a) + band.TAIL_N + 128)
@@ -285,8 +293,8 @@ class FillEngine:
                     res_d, bufs = fn(ab, alen, bb, blen)
                     if self.use_pallas and \
                             not os.environ.get("MINIALIGN_HOST_TRACE"):
-                        self._trace_device(out, reqs, sub, W, res_d,
-                                           bufs)
+                        pending.append(self._trace_device_dispatch(
+                            sub, W, res_d, bufs))
                         continue
                     res = type(res_d)(*(np.asarray(x) for x in res_d))
                     # the traceback walks backward from the max and
@@ -310,11 +318,15 @@ class FillEngine:
                                   int(res.max_j[s]), tr)
                 else:
                     res = fn(ab, alen, bb, blen)
-                    ms = np.asarray(res.max_score)
-                    mi = np.asarray(res.max_i)
-                    mj = np.asarray(res.max_j)
-                    for s, i in enumerate(sub):
-                        out[i] = (int(ms[s]), int(mi[s]), int(mj[s]), None)
+                    pending_plain.append((sub, res))
+        for pend in pending:
+            self._trace_device_harvest(out, pend)
+        for sub, res in pending_plain:
+            ms = np.asarray(res.max_score)
+            mi = np.asarray(res.max_i)
+            mj = np.asarray(res.max_j)
+            for s, i in enumerate(sub):
+                out[i] = (int(ms[s]), int(mi[s]), int(mj[s]), None)
         return out
 
 
