@@ -90,3 +90,30 @@ def test_align_batch_sharded_matches_single(mesh):
         for a1, a2 in zip(s1.alns, s2.alns):
             assert a1.mapq == a2.mapq
             assert a1.aln == a2.aln
+
+
+def test_host_batches_partition_and_merge(tmp_path):
+    """Multi-host partitioning: round-robin batches per host, then the
+    rank-ordered merge reproduces the single-host order exactly."""
+    import io
+
+    from minialign_tpu.parallel import distributed as dist
+
+    batches = [f"batch{i}" for i in range(11)]
+    n_hosts = 3
+    seen = {}
+    paths = []
+    for h in range(n_hosts):
+        p = tmp_path / f"host{h}.out"
+        with open(p, "w") as f:
+            for rank, b in dist.host_batches(batches, h, n_hosts):
+                assert rank not in seen
+                seen[rank] = h
+                f.write(f"#batch\t{rank}\n{b}-rec1\n{b}-rec2\n")
+        paths.append(str(p))
+    assert sorted(seen) == list(range(11))
+
+    out = io.StringIO()
+    dist.merge_host_outputs(paths, out)
+    want = "".join(f"{b}-rec1\n{b}-rec2\n" for b in batches)
+    assert out.getvalue() == want
