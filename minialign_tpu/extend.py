@@ -196,6 +196,115 @@ class FillEngine:
                                                 trace=trace)
         return self._fns[key]
 
+    # ------------------------------------------------------------------
+    # device-resident sequence store: the reference genome and the
+    # current read batch are uploaded ONCE; per-request band inputs are
+    # built by on-device gathers from per-problem (base, start, cap)
+    # rows, so no sequence bytes cross the host->device link per
+    # dispatch (the reference's immutable shared index, device-resident)
+    # ------------------------------------------------------------------
+
+    def set_index(self, mi) -> None:
+        if getattr(self, "_ref_src", None) is getattr(mi, "codes", None):
+            return
+        import jax
+        fw_bases, rv_bases, lens = [], [], []
+        parts = []
+        off = 0
+        for c in mi.codes:
+            c = np.asarray(c, np.int8)
+            r = revcomp_codes(c)
+            fw_bases.append(off)
+            parts.append(c)
+            off += len(c)
+            rv_bases.append(off)
+            parts.append(r)
+            off += len(r)
+            lens.append(len(c))
+        flat = np.concatenate(parts) if parts else np.zeros(1, np.int8)
+        self._ref_flat = jax.device_put(flat)
+        self._ref_fw = fw_bases
+        self._ref_rv = rv_bases
+        self._ref_len = lens
+        self._ref_src = mi.codes
+
+    def set_queries(self, reads) -> None:
+        import jax
+        bases, lens, parts = [], [], []
+        off = 0
+        for c in reads:
+            c = np.asarray(c, np.int8)
+            r = revcomp_codes(c)
+            bases.append((off, off + len(c)))
+            parts.append(c)
+            parts.append(r)
+            off += 2 * len(c)
+            lens.append(len(c))
+        flat = np.concatenate(parts) if parts else np.zeros(1, np.int8)
+        self._q_flat = jax.device_put(flat)
+        self._q_bases = bases
+        self._q_len = lens
+
+    def _gather_fn(self, L):
+        key = ("gather", L)
+        if key not in self._fns:
+            import jax
+            import jax.numpy as jnp
+
+            @jax.jit
+            def g(flat, base, start, cap, seglen, wrap):
+                col = jnp.arange(L, dtype=jnp.int32)
+                idx = start[:, None] + col[None, :]
+                idxw = jnp.where(wrap[:, None] > 0,
+                                 idx % jnp.maximum(wrap[:, None], 1),
+                                 idx)
+                safe = jnp.clip(idxw, 0, (seglen - 1)[:, None])
+                vals = jnp.take(flat, base[:, None] + safe)
+                ok = (col[None, :] < cap[:, None]) & \
+                    ((wrap[:, None] > 0) | (idx < seglen[:, None]))
+                return jnp.where(ok, vals,
+                                 jnp.int8(band.NCODE)).astype(jnp.int8)
+
+            self._fns[key] = g
+        return self._fns[key]
+
+    def _build_side(self, specs, L, B):
+        """specs: per-problem a/b slice specs; returns the (B, L)
+        device array + effective lengths. Spec forms:
+          ("ref", rid, rev, start, cap, wrap)   wrap>0 = circular mod
+          ("q", qidx, which, start)             which 1 = revcomp
+        """
+        base = np.zeros(B, np.int32)
+        start = np.zeros(B, np.int32)
+        cap = np.zeros(B, np.int32)
+        seglen = np.zeros(B, np.int32)
+        wrap = np.zeros(B, np.int32)
+        flat = None
+        elen = np.zeros(B, np.int32)
+        for s, spec in enumerate(specs):
+            if spec[0] == "ref":
+                _, rid, rev, st0, cp, wr = spec
+                flat = self._ref_flat
+                base[s] = self._ref_rv[rid] if rev else self._ref_fw[rid]
+                start[s] = st0
+                rlen = self._ref_len[rid]
+                seglen[s] = rlen
+                wrap[s] = wr
+                cap[s] = cp
+                elen[s] = cp if wr else max(0, min(cp, rlen - st0))
+            else:
+                _, qidx, which, st0 = spec
+                flat = self._q_flat
+                b0, b1 = self._q_bases[qidx]
+                base[s] = b1 if which else b0
+                start[s] = st0
+                qlen = self._q_len[qidx]
+                seglen[s] = qlen
+                cap[s] = max(0, qlen - st0)
+                elen[s] = cap[s]
+        arr = self._gather_fn(L)(flat, base, start, cap, seglen, wrap)
+        return arr, elen
+
     _OPS_FWD = np.array(["", "D", "R", "RD"])
     _OPS_REV = np.array(["", "D", "R", "DR"])
 
@@ -258,16 +367,27 @@ class FillEngine:
                     gap_penalty=gap_penalty)
             out[i] = (score, ai, bj, tr)
 
+    def _req_lens(self, a, b):
+        la = len(a) if isinstance(a, np.ndarray) else (
+            a[4] if a[0] == "ref" else 0)
+        if not isinstance(a, np.ndarray) and a[0] == "ref":
+            _, rid, rev, st0, cp, wr = a
+            la = cp if wr else max(0, min(cp, self._ref_len[rid] - st0))
+        lb = len(b) if isinstance(b, np.ndarray) else             max(0, self._q_len[b[1]] - b[3])
+        return la, lb
+
     def run(self, reqs: list) -> list:
-        """reqs: list of (kind, a_codes, b_codes, W) with kind 'down' or
-        'up'. Returns per-request (score, mi, mj, trace_or_None)."""
+        """reqs: list of (kind, a, b, W) with kind 'down' or 'up'; a/b
+        are either raw code arrays or device-store slice specs (see
+        _build_side). Returns per-request (score, mi, mj, trace|None)."""
         out = [None] * len(reqs)
         pending = []            # deferred device-trace harvests
         pending_plain = []      # deferred no-trace materializations
         groups = {}
         for i, (kind, a, b, W) in enumerate(reqs):
-            la = self._bucket(len(a) + band.TAIL_N + 128)
-            lb = self._bucket(len(b) + band.TAIL_N + 128)
+            ra, rb = self._req_lens(a, b)
+            la = self._bucket(ra + band.TAIL_N + 128)
+            lb = self._bucket(rb + band.TAIL_N + 128)
             groups.setdefault((kind == "up", W, la, lb), []).append(i)
         for (trace, W, la, lb), idxs in groups.items():
             fn = self._fn(W, la, lb, trace)
@@ -278,16 +398,28 @@ class FillEngine:
                 # limit within the first segments)
                 gran = 128 if self.use_pallas else self.batch
                 B = max(gran, -(-len(sub) // gran) * gran)
-                ab = np.full((B, la), band.NCODE, np.int8)
-                bb = np.full((B, lb), band.NCODE, np.int8)
-                alen = np.zeros(B, np.int32)
-                blen = np.zeros(B, np.int32)
-                for s, i in enumerate(sub):
-                    _, a, b, _ = reqs[i]
-                    ab[s, :len(a)] = a
-                    bb[s, :len(b)] = b
-                    alen[s] = len(a)
-                    blen[s] = len(b)
+                if sub and not isinstance(reqs[sub[0]][1], np.ndarray):
+                    aspecs = [reqs[i][1] for i in sub]
+                    bspecs = [reqs[i][2] for i in sub]
+                    zpad_a = ("ref", 0, 0, 0, 0, 0)
+                    zpad_b = ("q", 0, 0, 10**9)
+                    aspecs += [zpad_a] * (B - len(sub))
+                    bspecs += [zpad_b] * (B - len(sub))
+                    ab, alen = self._build_side(aspecs, la, B)
+                    bb, blen = self._build_side(bspecs, lb, B)
+                    alen = np.asarray(alen, np.int32)
+                    blen = np.asarray(blen, np.int32)
+                else:
+                    ab = np.full((B, la), band.NCODE, np.int8)
+                    bb = np.full((B, lb), band.NCODE, np.int8)
+                    alen = np.zeros(B, np.int32)
+                    blen = np.zeros(B, np.int32)
+                    for s, i in enumerate(sub):
+                        _, a, b, _ = reqs[i]
+                        ab[s, :len(a)] = a
+                        bb[s, :len(b)] = b
+                        alen[s] = len(a)
+                        blen[s] = len(b)
                 if trace:
                     import os
                     res_d, bufs = fn(ab, alen, bb, blen)
@@ -334,9 +466,13 @@ class FillEngine:
 # per-read extension task
 # ---------------------------------------------------------------------------
 
+def _slice_cap(brem: int, W: int) -> int:
+    return 2 * brem + 4 * W + 2 * band.TAIL_N + 64
+
+
 def _slice_a(codes: np.ndarray, start: int, brem: int, W: int,
              circ: bool = False) -> np.ndarray:
-    cap = 2 * brem + 4 * W + 2 * band.TAIL_N + 64
+    cap = _slice_cap(brem, W)
     if circ:
         # circular section re-feed (rtp, minialign.c:3753): the same
         # ref section is fed again past its end, i.e. codes[pos % len]
@@ -411,7 +547,8 @@ def _load_next(st: _SearchState, seeds, tglen: int, rid: int, qlen: int):
     return st.srem > 0
 
 
-def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int):
+def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int,
+                qidx: int | None = None):
     """Generator: yields ('down'|'up', a, b, W) requests, receives
     (score, mi, mj, trace) via .send(). Returns (res, slots) where res
     is a list of [accumulated_score, Bin] and slots the global aln-slot
@@ -478,8 +615,15 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int):
                 qdir = qrc[st.rev]
 
                 # ---- downward extension
-                a = _slice_a(rcodes, st.cp[0], qlen - st.cp[1], W, circ)
-                b = qdir[st.cp[1]:]
+                cap = _slice_cap(qlen - st.cp[1], W)
+                if qidx is not None:
+                    a = ("ref", rid, 0, st.cp[0], cap,
+                         rlen if circ else 0)
+                    b = ("q", qidx, st.rev, st.cp[1])
+                else:
+                    a = _slice_a(rcodes, st.cp[0], qlen - st.cp[1], W,
+                                 circ)
+                    b = qdir[st.cp[1]:]
                 sc, mi_, mj_, _ = yield ("down", a, b, W)
                 if sc == 0:
                     continue
@@ -499,8 +643,16 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int):
 
                 # ---- upward extension on reversed sequences
                 W0 = WIDTHS[0]
-                au = _slice_a(rrev, rlen - st.tp[0], st.tp[1], W0, circ)
-                bu = revcomp_codes(qdir)[qlen - st.tp[1]:]
+                capu = _slice_cap(st.tp[1], W0)
+                if qidx is not None:
+                    au = ("ref", rid, 1, rlen - st.tp[0], capu,
+                          rlen if circ else 0)
+                    # revcomp(qdir) is just the OTHER strand copy
+                    bu = ("q", qidx, 1 - st.rev, qlen - st.tp[1])
+                else:
+                    au = _slice_a(rrev, rlen - st.tp[0], st.tp[1], W0,
+                                  circ)
+                    bu = revcomp_codes(qdir)[qlen - st.tp[1]:]
                 usc, umi, umj, tr = yield ("up", au, bu, W0)
                 if usc < mp.min_score or tr is None:
                     continue

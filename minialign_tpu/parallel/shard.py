@@ -153,6 +153,12 @@ class ShardedFillEngine:
     def p(self):
         return self._inner.p
 
+    def set_index(self, mi):
+        self._inner.set_index(mi)
+
+    def set_queries(self, reads):
+        self._inner.set_queries(reads)
+
     def run(self, reqs: list) -> list:
         return self._inner.run(reqs)
 

@@ -61,10 +61,22 @@ def align_batch(mp: MapParams, mi: MMIndex, reads: list,
     """Map a batch of reads (list of 2-bit code arrays). Returns a Reg
     (or None for unmapped) per read, in input order."""
     engine = engine or FillEngine(mp.score)
+    # device-resident sequence store: avoids per-dispatch sequence
+    # uploads by building band inputs with on-device gathers. Measured
+    # SLOWER on v5e (XLA gather ~8 ns/elem >> the upload cost even over
+    # a tunnel), so off by default; revisit on hardware where host
+    # links are the bottleneck (PERF_NOTES.md).
+    import os
+    use_store = hasattr(engine, "set_index") and \
+        bool(os.environ.get("MINIALIGN_DEVICE_SEQS"))
+    if use_store:
+        engine.set_index(mi)
+        engine.set_queries([np.asarray(c, np.int8) for c in reads])
     results = {}
     active = {}
     for i, codes in enumerate(reads):
-        g = extend_read(mp, mi, np.asarray(codes), base_qid + i)
+        g = extend_read(mp, mi, np.asarray(codes), base_qid + i,
+                        qidx=i if use_store else None)
         if g is None:
             results[i] = None
             continue
