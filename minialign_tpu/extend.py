@@ -182,11 +182,21 @@ class FillEngine:
             b *= 2
         return b
 
+    @staticmethod
+    def _pallas_vmem_ok(la, lb) -> bool:
+        """Ultralong-read guard: the pallas kernel keeps the padded
+        char arrays + extraction scratch in VMEM (~100 MB ceiling on
+        v5e); beyond that the XLA fill (HBM-resident) takes over."""
+        pa = 1 << max((la + 512 - 1).bit_length(), 3)
+        pb = 1 << max((lb + 512 - 1).bit_length(), 3)
+        approx = (pa + pb + 2 * max(pa, pb) // 2) * 128
+        return approx < 80 * 1024 * 1024
+
     def _fn(self, W, la, lb, trace):
         nb = (la + lb + 2 * band.TAIL_N) // band.BLK + 2
         key = (W, la, lb, trace)
         if key not in self._fns:
-            if self.use_pallas:
+            if self.use_pallas and self._pallas_vmem_ok(la, lb):
                 from .dp.pallas_fill import make_fill_pallas
                 self._fns[key] = make_fill_pallas(self.p, W,
                                                   max_blocks=nb,

@@ -99,3 +99,34 @@ def test_short_read_skipped(index, engine):
     regs = align_batch(mp, index, [np.zeros(10, np.int8)],
                        engine)
     assert regs[0] is None
+
+
+def test_device_seq_store_matches_default(monkeypatch):
+    """MINIALIGN_DEVICE_SEQS=1 (on-device gather of band inputs) must
+    produce identical regs to the default upload path."""
+    import os
+
+    import numpy as np
+
+    from minialign_tpu.index.build import build_index
+    from minialign_tpu.io import bseq
+    from minialign_tpu.params import IndexParams, MapParams
+    from minialign_tpu.pipeline import align_batch
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    ref = list(bseq.read_seqs(os.path.join(data, "tref.fa")))
+    reads = [s.codes for s in
+             bseq.read_seqs(os.path.join(data, "treads.fq"))][:3]
+    mi = build_index(IndexParams(), [s.name for s in ref],
+                     [s.codes for s in ref])
+    mp = MapParams()
+    base = align_batch(mp, mi, reads)
+    monkeypatch.setenv("MINIALIGN_DEVICE_SEQS", "1")
+    store = align_batch(mp, mi, reads)
+    for r1, r2 in zip(base, store):
+        assert (r1 is None) == (r2 is None)
+        if r1 is None:
+            continue
+        assert len(r1.alns) == len(r2.alns)
+        for a1, a2 in zip(r1.alns, r2.alns):
+            assert a1.aln == a2.aln and a1.mapq == a2.mapq
