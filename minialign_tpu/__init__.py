@@ -22,5 +22,13 @@ _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
+# backend override (e.g. MINIALIGN_PLATFORM=cpu for tooling/fuzzing):
+# a plain JAX_PLATFORMS env is clobbered by site customizations on
+# some machines, so apply it through jax.config after import
+if _os.environ.get("MINIALIGN_PLATFORM"):
+    import jax as _jax
+    _jax.config.update("jax_platforms",
+                       _os.environ["MINIALIGN_PLATFORM"])
+
 __version__ = "0.1.0"
 VERSION_STRING = "minialign-tpu-0.1.0"

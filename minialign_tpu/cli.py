@@ -108,9 +108,34 @@ class Opts:
     help: int = 0
     ecnt: int = 0
 
-    def err(self, msg):
-        print(f"[E::opt] {msg}", file=sys.stderr)
+    def err(self, msg, fn="opt"):
+        print(f"[E::{fn}] {msg}", file=sys.stderr)
         self.ecnt += 1
+
+
+def _atoi(o: "Opts", v: str | None, _fn: str = "mm_opt_atoi") -> int:
+    """mm_opt_atoi (minialign.c:5740-5749): digits only (no sign, no
+    suffix); anything else reports `unparsable number' and yields 0."""
+    if v is None:
+        return 0
+    if not v.isdigit():
+        o.err(f"unparsable number `{v}'.", _fn)
+        return 0
+    return int(v)
+
+
+def _atof(o: "Opts", v: str | None) -> float:
+    """mm_opt_atof (minialign.c:5750-5764)."""
+    if v is None:
+        return 0.0
+    if not all(c in "0123456789-.,eE" for c in v):
+        o.err(f"unparsable number `{v}'.", "mm_opt_atof")
+        return 0.0
+    # C atof() parses the longest valid prefix and yields 0 when none
+    # (e.g. "0.5e" -> 0.5)
+    import re
+    m = re.match(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", v)
+    return float(m.group(0)) if m else 0.0
 
 
 def _apply_preset(o: Opts, arg: str):
@@ -127,19 +152,30 @@ def _apply_preset(o: Opts, arg: str):
                     parse_line(o, f.read().replace("\n", " ")
                                .replace("\t", " "))
             except OSError:
-                o.err(f"no preset params found for `{part}'.")
+                # the reference reports both failures: the fopen in
+                # mm_opt_load_conf (minialign.c:5820) and the outer
+                # oassert in mm_opt_preset (minialign.c:5885)
+                o.err(f"failed to find configuration file `{part}'.",
+                      "mm_opt_load_conf")
+                o.err(f"no preset params found for `{part}'.",
+                      "mm_opt_preset")
             return
 
 
 def _set_match(o: Opts, v: str):
-    m = int(v)
+    m = _atoi(o, v)
+    if not (0 < m < 7):
+        o.err("match award (-a) must be inside [1,7].", "mm_opt_match")
     for i in range(16):
         if (i & 3) == (i >> 2):
             o.matrix[i] = m
 
 
 def _set_mismatch(o: Opts, v: str):
-    x = int(v)
+    x = _atoi(o, v)
+    if not (0 < x < 7):
+        o.err("mismatch penalty (-b) must be inside [1,7].",
+              "mm_opt_mismatch")
     for i in range(16):
         if (i & 3) != (i >> 2):
             o.matrix[i] = -x
@@ -148,18 +184,42 @@ def _set_mismatch(o: Opts, v: str):
 def _set_mod(o: Opts, v: str):
     idxaf = {"A": 1, "C": 2, "G": 3, "T": 4, "U": 4, "N": 5}
     for part in _split(v):
-        o.matrix[(idxaf[part[1]] - 1) * 4 + (idxaf[part[0]] - 1)] += \
-            int(part[2:])
+        ok = True
+        for ch in part[:2]:
+            if ch not in idxaf:
+                o.err(f"unknown base `{ch}' in modifier `{part}'.",
+                      "mm_opt_mod")
+                ok = False
+        if ok:
+            o.matrix[(idxaf[part[1]] - 1) * 4
+                     + (idxaf[part[0]] - 1)] += int(part[2:])
 
 
 def _set_gf(o: Opts, v: str):
     parts = _split(v)
-    o.gfa = int(parts[0])
-    o.gfb = int(parts[1] if len(parts) > 1 else parts[0])
+    o.gfa = _atoi(o, parts[0])
+    o.gfb = _atoi(o, parts[1] if len(parts) > 1 else parts[0])
+    for g in (o.gfa, o.gfb):
+        if not (0 <= g < 32):
+            o.err("short-gap extension penalty (-r) must be inside "
+                  "[0,32].", "mm_opt_gf")
 
 
 def _set_frq(o: Opts, v: str):
-    o.frq = tuple(float(x) for x in _split(v))
+    fs = []
+    for x in _split(v):
+        f = _atof(o, x)
+        if len(fs) >= 7:
+            o.err("#thresholds must not exceed 7.", "mm_opt_frq")
+            break
+        if not (0.0 <= f < 1.0):
+            o.err(f"invalid threshold `{f:.6f}' parsed from `{x}'.",
+                  "mm_opt_frq")
+        if fs and not fs[-1] > f:
+            o.err("frequency thresholds must be descending.",
+                  "mm_opt_frq")
+        fs.append(f)
+    o.frq = tuple(fs)
 
 
 def _set_tags(o: Opts, v: str):
@@ -168,7 +228,7 @@ def _set_tags(o: Opts, v: str):
     output-tag flags."""
     for t in _split(v):
         if len(t) != 2:
-            o.err(f"unknown tag: `{t}'.")
+            o.err(f"unknown tag: `{t}'.", "mm_opt_tags")
             continue
         o.tag_names.append(t)
         if t in _TAG_IDS:
@@ -194,7 +254,8 @@ def _set_rg(o: Opts, v: str):
             o.rg_id = field
             o.tags.append(TAG_RG)
             return
-    o.err("RG line must start with @RG and contain ID.")
+    o.err("RG line must start with @RG and contains ID, "
+          "like `@RG\\tID:1'.", "mm_opt_rg")
 
 
 def _set_circ(o: Opts, v: str | None):
@@ -210,7 +271,7 @@ def _set_circ(o: Opts, v: str | None):
 
 def _set_format(o: Opts, v: str):
     if v not in _FORMATS:
-        o.err(f"unknown output format `{v}'.")
+        o.err(f"unknown output format `{v}'.", "mm_opt_format")
     else:
         o.fmt = _FORMATS[v]
 
@@ -220,6 +281,92 @@ def _split(v: str):
     for sep in ",;:/":
         out = [p for x in out for p in x.split(sep)]
     return [x for x in out if x]
+
+
+def _set_threads(o: Opts, v: str):
+    o.nth = _atoi(o, v)
+    if not o.nth < 128:
+        o.err("#threads must be less than 128.", "mm_opt_threads")
+
+
+def _set_kmer(o: Opts, v: str):
+    o.k = _atoi(o, v)
+    if not (1 < o.k < 32):
+        o.err("k must be inside [1,32).", "mm_opt_kmer")
+
+
+def _set_window(o: Opts, v: str):
+    o.w = _atoi(o, v)
+    if not (1 < o.w < 32):
+        o.err("w must be inside [1,32).", "mm_opt_window")
+
+
+def _set_bin(o: Opts, v: str):
+    o.b = _atoi(o, v)
+    if not (1 < o.b < 32):
+        o.err("b must be inside [1,32).", "mm_opt_bin")
+
+
+def _set_min_len(o: Opts, v: str):
+    o.min_len = _atoi(o, v)
+    if not o.min_len > 0:
+        o.err("minimum sequence length must be > 0.", "mm_opt_min_len")
+
+
+def _set_wlen(o: Opts, v: str):
+    o.wlen = _atoi(o, v)
+    # the reference's range check `wlen > 100 || wlen < 100000` is a
+    # tautology (minialign.c:6025) — no value can fail it
+
+
+def _set_glen(o: Opts, v: str):
+    o.glen = _atoi(o, v)
+    # tautological range check in the reference (minialign.c:6029)
+
+
+def _set_gi(o: Opts, v: str):
+    o.gi = _atoi(o, v)
+    if not o.gi < 32:
+        o.err("gap open penalty (-p) must be inside [0,32].",
+              "mm_opt_gi")
+
+
+def _set_ge(o: Opts, v: str):
+    o.ge = _atoi(o, v)
+    if not (0 < o.ge < 32):
+        o.err("gap extension penalty (-q) must be inside [1,32].",
+              "mm_opt_ge")
+
+
+def _set_xdrop(o: Opts, v: str):
+    o.xdrop = _atoi(o, v)
+    if not (10 < o.xdrop < 128):
+        o.err("X-drop cutoff must be inside [10,128].", "mm_opt_xdrop")
+
+
+def _set_min_score(o: Opts, v: str):
+    o.min_score = _atoi(o, v)
+    if not o.min_score > 0:
+        o.err("minimum alignment score must be > 0.",
+              "mm_opt_min_score")
+
+
+def _set_min_ratio(o: Opts, v: str):
+    o.min_ratio = _atof(o, v)
+    if not (0.0 < o.min_ratio < 1.0):
+        o.err("minimum alignment score ratio must be inside "
+              "[0.0,1.0].", "mm_opt_min_ratio")
+
+
+def _set_batch(o: Opts, v: str):
+    o.batch_size = _atoi(o, v)
+    if not o.batch_size > 64 * 1024:
+        o.err("batch size must be > 64k.", "mm_opt_batch")
+
+
+def _set_outbuf(o: Opts, v: str):
+    if not _atoi(o, v) > 64 * 1024:
+        o.err("output buffer size must be > 64k.", "mm_opt_outbuf")
 
 
 # option character -> (needs_arg: 0 bool / 1 required / 2 optional, setter)
@@ -233,30 +380,33 @@ _OPTS = {
     "A": (0, lambda o, v: setattr(o, "flag", o.flag | MM_COMP)),
     "P": (0, lambda o, v: setattr(o, "flag", o.flag | MM_OMIT_REP)),
     "Q": (0, lambda o, v: setattr(o, "keep_qual", True)),
-    # bare -v marks "version requested" (0); -vN sets the level
-    "v": (2, lambda o, v: setattr(o, "verbose", int(v) if v else 0)),
+    # bare -v marks "version requested" (0); -vN sets the level;
+    # a non-numeric arg yields strlen+1 (mm_opt_verbose quirk)
+    "v": (2, lambda o, v: setattr(
+        o, "verbose", (int(v) if v.isdigit() else len(v) + 1)
+        if v else 0)),
     "h": (0, lambda o, v: setattr(o, "help", o.help + 1)),
-    "t": (1, lambda o, v: setattr(o, "nth", int(v))),
-    "k": (1, lambda o, v: setattr(o, "k", int(v))),
-    "w": (1, lambda o, v: setattr(o, "w", int(v))),
+    "t": (1, _set_threads),
+    "k": (1, _set_kmer),
+    "w": (1, _set_window),
     "c": (2, _set_circ),
     "f": (1, _set_frq),
-    "B": (1, lambda o, v: setattr(o, "b", int(v))),
+    "B": (1, _set_bin),
     "C": (2, lambda o, v: None),
-    "L": (1, lambda o, v: setattr(o, "min_len", int(v))),
-    "W": (1, lambda o, v: setattr(o, "wlen", int(v))),
-    "G": (1, lambda o, v: setattr(o, "glen", int(v))),
+    "L": (1, _set_min_len),
+    "W": (1, _set_wlen),
+    "G": (1, _set_glen),
     "a": (1, _set_match),
     "b": (1, _set_mismatch),
     "e": (1, _set_mod),
-    "p": (1, lambda o, v: setattr(o, "gi", int(v))),
-    "q": (1, lambda o, v: setattr(o, "ge", int(v))),
+    "p": (1, _set_gi),
+    "q": (1, _set_ge),
     "r": (1, _set_gf),
-    "Y": (1, lambda o, v: setattr(o, "xdrop", int(v))),
-    "s": (1, lambda o, v: setattr(o, "min_score", int(v))),
-    "m": (1, lambda o, v: setattr(o, "min_ratio", float(v))),
-    "1": (1, lambda o, v: setattr(o, "batch_size", int(v))),
-    "2": (1, lambda o, v: None),
+    "Y": (1, _set_xdrop),
+    "s": (1, _set_min_score),
+    "m": (1, _set_min_ratio),
+    "1": (1, _set_batch),
+    "2": (1, _set_outbuf),
 }
 
 
@@ -282,7 +432,8 @@ def parse_argv(o: Opts, argv: list):
         if j < len(arg):
             ch = arg[j]
             if ch not in _OPTS:
-                o.err(f"unknown option `-{ch}'.")
+                o.err(f"unknown option `-{ch}'.",
+                      "mm_opt_parse_argv")
             else:
                 kind, fn = _OPTS[ch]
                 val = arg[j + 1:] or None
@@ -291,7 +442,8 @@ def parse_argv(o: Opts, argv: list):
                     i += 1
                     val = argv[i]
                 if kind == 1 and val is None:
-                    o.err(f"missing argument for option `-{ch}'.")
+                    o.err(f"missing argument for option `-{ch}'.",
+                          "mm_opt_parse_argv")
                 else:
                     fn(o, val)
         i += 1
@@ -303,7 +455,24 @@ def parse_line(o: Opts, line: str):
 
 
 def finalize(o: Opts):
-    """mm_opt_check_sanity tail (minialign.c:6131-6137)."""
+    """mm_opt_check_sanity (minialign.c:6098-6114)."""
+    x = min(o.matrix)                 # most negative entry (= -b)
+    if not (o.gfa == 0 or o.gfa > o.ge):
+        o.err("short-gap extension penalty (-r) must be larger than "
+              f"gap extension penalty ({o.ge}).", "mm_opt_check_sanity")
+    if not (o.gfb == 0 or o.gfb > o.ge):
+        o.err("short-gap extension penalty (-r) must be larger than "
+              f"gap extension penalty ({o.ge}).", "mm_opt_check_sanity")
+    if ((o.gfa == 0) ^ (o.gfb == 0)) != 0:
+        o.err("short-gap extension penalty (-r) must be set for both "
+              "sides.", "mm_opt_check_sanity")
+    if not (o.gfa == 0 or o.gfb == 0 or o.gfa + o.gfb > -x):
+        o.err("short-gap extension penalty (-r) must not be greater "
+              "than mismatch penalty.", "mm_opt_check_sanity")
+    if o.args and o.args[0].endswith(".mai") and (o.circ or o.circ_all):
+        print("[W::mm_opt_check_sanity] index will be loaded from "
+              f"file `{o.args[0]}'. circular option is ignored.",
+              file=sys.stderr)
     if o.w >= 32:
         o.w = int(2.0 / 3.0 * o.k + 0.499)
     return o
@@ -442,6 +611,12 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     ip, mp = make_params(o)
+    try:
+        mp.score.check()
+    except ValueError:
+        log("E", "main_align",
+            "failed to instanciate alignment context.")
+        return 1
 
     if o.fnw is not None:
         # index-build mode (main_index, minialign.c:6308-6336): one
@@ -491,13 +666,17 @@ def main(argv=None) -> int:
         # header per index block (mm_print_header inside the block
         # loop, minialign.c:6425)
         wr.header(mi.names, mi.lens)
+        # fresh thread-buffer per block (mm_align_init per block,
+        # minialign.c:6419); carries the stale-rlen root-bounds state
+        # across query files and batches (see pipeline.align_batch)
+        tb = {"rlen": 0}
         for path in queries:
             for batch in bseq.read_batches(path, batch_size=o.batch_size,
                                            keep_qual=o.keep_qual,
                                            min_len=o.min_len,
                                            tags=tuple(o.tag_names)):
                 regs = align_batch(mp, mi, [s.codes for s in batch],
-                                   engine, base_qid=n_reads)
+                                   engine, base_qid=n_reads, tbuf=tb)
                 for s, reg in zip(batch, regs):
                     wr.mapped(mi.names, mi.lens, mi.codes, s, reg)
                 n_reads += len(batch)

@@ -70,6 +70,9 @@ class Seg:
     bs0: int
     be: int
     path: str
+    po: int = 0            # start offset within the full forward path
+                           # (display order); maps to the up-space bit
+                           # position for the printers' reverse parse
 
 
 @dataclasses.dataclass
@@ -87,11 +90,14 @@ class Aln:
     agcnt: int
     bgcnt: int
     segs: list = None      # [Seg] head-to-tail; None -> single segment
+    upath: str = ""        # up-space bit path (gaba's aln->path order);
+                           # the printers reverse-parse this
+                           # (gaba_dump_cigar_reverse, minialign.c:5173)
 
     def __post_init__(self):
         if self.segs is None:
             self.segs = [Seg(self.as0, self.ae, self.bs0, self.be,
-                             self.path)]
+                             self.path, po=0)]
 
     @property
     def plen(self) -> int:
@@ -115,12 +121,13 @@ def split_segments(as0_u: int, bs0: int, path: str, rlen: int) -> list:
             apos += 1
             if apos % rlen == 0 and i + 1 < len(path):
                 segs.append(Seg(seg_a0 % rlen, ((apos - 1) % rlen) + 1,
-                                seg_b0, bpos, path[start:i + 1]))
+                                seg_b0, bpos, path[start:i + 1],
+                                po=start))
                 seg_a0, seg_b0, start = apos, bpos, i + 1
         else:
             bpos += 1
     segs.append(Seg(seg_a0 % rlen, ((apos - 1) % rlen) + 1, seg_b0, bpos,
-                    path[start:]))
+                    path[start:], po=start))
     return segs
 
 
@@ -558,13 +565,30 @@ def _load_next(st: _SearchState, seeds, tglen: int, rid: int, qlen: int):
 
 
 def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int,
-                qidx: int | None = None):
+                qidx: int | None = None, tbuf: dict | None = None):
     """Generator: yields ('down'|'up', a, b, W) requests, receives
-    (score, mi, mj, trace) via .send(). Returns (res, slots) where res
-    is a list of [accumulated_score, Bin] and slots the global aln-slot
-    list (mm_align_seq up to the extend stage, minialign.c:4427-4450)."""
+    (score, mi, mj, trace) via .send(). Returns (res, slots, rec) where
+    res is a list of [accumulated_score, Bin] and slots the global
+    aln-slot list (mm_align_seq up to the extend stage,
+    minialign.c:4427-4450).
+
+    tbuf carries the reference's per-thread-buffer state: the root
+    bounds test in mm_search_load_pos (minialign.c:3828) reads
+    self->rlen BEFORE mm_init_ref updates it (minialign.c:3865-3873),
+    so it sees the ref length of the PREVIOUSLY loaded root — of an
+    earlier chain, an earlier read, or 0 (calloc) for the very first
+    root of the buffer's lifetime (one mm_align_init per index block).
+    tbuf = {"rlen": <stale value>, "spec": bool}; with spec=True the
+    first root of this read uses the current ref length as a guess and
+    the caller replays the read if the guess disagrees with the true
+    sequential value (see pipeline.align_batch). rec reports what this
+    read did: its first root's raw position and fired flag, and the
+    rlen it leaves behind."""
     score_p = mp.score
     qlen = len(qcodes)
+    rec = {"first": None, "fired": False, "out_rlen": None}
+    if tbuf is None:
+        tbuf = {"rlen": 0, "spec": False}
     if qlen < mi.k or qlen * score_p.mcoef < mp.min_score:
         return None
 
@@ -604,9 +628,18 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int,
             circ = bool(mi.circular[rid])
             apos = x
             bpos = y + (qlen if y < 0 else 0)
-            if apos >= rlen or bpos >= qlen:
+            if rec["first"] is None:
+                rec["first"] = (apos, bpos)
+                fired = (apos >= (rlen if tbuf["spec"] else tbuf["rlen"])
+                         or bpos >= qlen)
+                rec["fired"] = fired
+            else:
+                fired = apos >= tbuf["rlen"] or bpos >= qlen
+            if fired:
                 apos -= min(apos, mi.k)
                 bpos -= min(bpos, mi.k)
+            tbuf["rlen"] = rlen
+            rec["out_rlen"] = rlen
             st = _SearchState(cp=(apos, bpos), tp=(apos, bpos),
                               rev=1 if y < 0 else 0, prem=ch.plen,
                               sid=rsid)
@@ -675,7 +708,8 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int,
                 aln = Aln(rid=rid, rev=st.rev, as0=as0, ae=ae,
                           bs0=bs0, be=be, score=usc, path=tr.path_rev,
                           identity=tr.identity, dcnt=tr.dcnt,
-                          agcnt=tr.agcnt, bgcnt=tr.bgcnt, segs=segs)
+                          agcnt=tr.agcnt, bgcnt=tr.bgcnt, segs=segs,
+                          upath=tr.path)
 
                 # ---- record (minialign.c:4018-4067)
                 st.cp = (as0, bs0)
@@ -723,5 +757,5 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int,
             break
 
     if not res:
-        return None
-    return res, slots
+        return None, None, rec
+    return res, slots, rec

@@ -87,7 +87,9 @@ def hash_stream(codes: np.ndarray, k: int):
     invertible hash; strand=1 when the reverse complement is smaller."""
     mask = (1 << (2 * k)) - 1
     k0, k1 = kmer_stream(codes, k)
-    strand = (k1 < k0)
+    # tie (palindromic k-mer, even k only): the reference marks the
+    # REVERSE strand (m = k0 < k1 ? 0 : 0x80, minialign.c:2396)
+    strand = (k1 <= k0)
     km = np.where(strand, k1, k0)
     kx = np.where(strand, k0, k1)
     h = hash64(km, kx, mask)

@@ -53,7 +53,7 @@ def sketch_device(codes: jnp.ndarray, k: int, w: int):
         c = jax.lax.dynamic_slice(codes, (i,), (n,))
         k0 = k0 | (c << jnp.uint32(2 * (k - 1 - i)))
         k1 = k1 | ((jnp.uint32(3) ^ c) << jnp.uint32(2 * i))
-    strand = k1 < k0
+    strand = k1 <= k0
     km = jnp.where(strand, k1, k0)
     kx = jnp.where(strand, k0, k1)
     h = (_crc32c_u32pair(kx, jnp.zeros_like(kx)) ^ km) & mask

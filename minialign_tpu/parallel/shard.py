@@ -194,7 +194,8 @@ class ShardedIndex:
         return np.asarray(st, np.int64), np.asarray(cn, np.int64)
 
 
-def align_batch_sharded(mp, mi, reads, mesh: Mesh, base_qid: int = 0):
+def align_batch_sharded(mp, mi, reads, mesh: Mesh, base_qid: int = 0,
+                        tbuf: dict | None = None):
     """pipeline.align_batch with both parallel axes on the mesh:
     extension problems data-parallel ('dp') and index lookups against
     the hash-range-sharded table. Output order and content match the
@@ -203,4 +204,5 @@ def align_batch_sharded(mp, mi, reads, mesh: Mesh, base_qid: int = 0):
 
     smi = ShardedIndex(mi, mesh)
     engine = ShardedFillEngine(mp.score, mesh)
-    return align_batch(mp, smi, reads, engine, base_qid=base_qid)
+    return align_batch(mp, smi, reads, engine, base_qid=base_qid,
+                       tbuf=tbuf)

@@ -36,7 +36,9 @@ class Reg:
 def _postprocess(mp: MapParams, out) -> Reg | None:
     if out is None:
         return None
-    res, slots = out
+    res, slots, _ = out
+    if not res:
+        return None
     # sort by accumulated score desc, stable (radix_sort_64x on the
     # offsetted score, minialign.c:4452)
     res = sorted(res, key=lambda r: -r[0])
@@ -55,12 +57,35 @@ def _postprocess(mp: MapParams, out) -> Reg | None:
     return Reg(alns=alns, n_uniq=n_uniq)
 
 
+def _pump_single(engine, g):
+    """Drive one extension generator to completion (used for stale-rlen
+    replays; see align_batch)."""
+    try:
+        req = g.send(None)
+        while True:
+            out = engine.run([req])[0]
+            req = g.send(out)
+    except StopIteration as e:
+        return e.value
+
+
 def align_batch(mp: MapParams, mi: MMIndex, reads: list,
                 engine: FillEngine | None = None,
-                base_qid: int = 0) -> list:
+                base_qid: int = 0, tbuf: dict | None = None) -> list:
     """Map a batch of reads (list of 2-bit code arrays). Returns a Reg
-    (or None for unmapped) per read, in input order."""
+    (or None for unmapped) per read, in input order.
+
+    tbuf ({"rlen": int}) is the reference's thread-buffer state: the
+    root bounds test reads the ref length left behind by the previous
+    loaded root — across chains, reads, and query files, 0 at the
+    start of each index block (one mm_align_init / calloc'd tbuf per
+    block, minialign.c:4501+6419). The reference with -t1 therefore
+    couples reads SEQUENTIALLY; to keep the batched device pipeline,
+    reads run speculatively (first-root test against the current ref
+    length) and a sequential post-pass replays the rare read whose
+    guess disagrees with the true stale value."""
     engine = engine or FillEngine(mp.score)
+    tb = tbuf if tbuf is not None else {"rlen": 0}
     # device-resident sequence store: avoids per-dispatch sequence
     # uploads by building band inputs with on-device gathers. Measured
     # SLOWER on v5e (XLA gather ~8 ns/elem >> the upload cost even over
@@ -75,8 +100,11 @@ def align_batch(mp: MapParams, mi: MMIndex, reads: list,
     results = {}
     active = {}
     for i, codes in enumerate(reads):
+        # the batch's first read sees a known stale rlen (exact); the
+        # rest speculate and are replayed below on a wrong guess
+        tbi = {"rlen": tb["rlen"], "spec": i != 0}
         g = extend_read(mp, mi, np.asarray(codes), base_qid + i,
-                        qidx=i if use_store else None)
+                        qidx=i if use_store else None, tbuf=tbi)
         if g is None:
             results[i] = None
             continue
@@ -99,5 +127,28 @@ def align_batch(mp: MapParams, mi: MMIndex, reads: list,
             except StopIteration as e:
                 results[i] = e.value
         active = nxt
+
+    # sequential stale-rlen pass: walk reads in order, replay any whose
+    # speculative first-root bounds test disagrees with the true value
+    cur = tb["rlen"]
+    for i in range(len(reads)):
+        out = results.get(i)
+        if out is None:
+            continue
+        rec = out[2]
+        if rec["first"] is not None:
+            fa, fb = rec["first"]
+            fired = fa >= cur or fb >= len(reads[i])
+            if fired != rec["fired"]:
+                g = extend_read(mp, mi, np.asarray(reads[i]),
+                                base_qid + i,
+                                qidx=i if use_store else None,
+                                tbuf={"rlen": cur, "spec": False})
+                out = _pump_single(engine, g)
+                results[i] = out
+                rec = out[2] if out is not None else None
+        if rec is not None and rec["out_rlen"] is not None:
+            cur = rec["out_rlen"]
+    tb["rlen"] = cur
 
     return [_postprocess(mp, results.get(i)) for i in range(len(reads))]

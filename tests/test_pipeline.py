@@ -130,3 +130,48 @@ def test_device_seq_store_matches_default(monkeypatch):
         assert len(r1.alns) == len(r2.alns)
         for a1, a2 in zip(r1.alns, r2.alns):
             assert a1.aln == a2.aln and a1.mapq == a2.mapq
+
+
+def test_stale_rlen_tbuf(index, genome, engine):
+    """The root bounds test uses the thread-buffer's STALE rlen
+    (minialign.c:3828 reads self->rlen before mm_init_ref at :3873
+    updates it; 0 from calloc for the block's first root, which then
+    always shifts the root by -k). align_batch must replicate the
+    sequential -t1 coupling and leave the last loaded root's ref
+    length in tbuf."""
+    from minialign_tpu.extend import extend_read
+    mp = MapParams()
+    read = genome[1000:2500].copy()
+
+    tb = {"rlen": 0}
+    regs = align_batch(mp, index, [read], engine, tbuf=tb)
+    assert regs[0] is not None
+    assert tb["rlen"] == len(genome)     # rlen left behind by the root
+
+    # first root of a block (stale rlen = 0): apos >= 0 always fires
+    g = extend_read(mp, index, read, 0, tbuf={"rlen": 0, "spec": False})
+    req = g.send(None)
+    try:
+        while True:
+            req = g.send(engine.run([req])[0])
+    except StopIteration as e:
+        res, slots, rec = e.value
+    assert rec["first"] is not None and rec["fired"]
+    assert rec["out_rlen"] == len(genome)
+
+    # second read in sequence (stale rlen = genome length): in-bounds
+    # root, test must NOT fire
+    g = extend_read(mp, index, read, 1,
+                    tbuf={"rlen": len(genome), "spec": False})
+    req = g.send(None)
+    try:
+        while True:
+            req = g.send(engine.run([req])[0])
+    except StopIteration as e:
+        res, slots, rec = e.value
+    assert not rec["fired"]
+
+    # the always-fired -k shift on the first root must not change the
+    # final alignment here (root interior to the sequence)
+    a = regs[0].alns[0].aln
+    assert (a.as0, a.ae, a.bs0, a.be) == (1000, 2500, 0, 1500)
