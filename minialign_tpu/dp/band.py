@@ -27,9 +27,10 @@ unittest_naive, gaba.c:4638-4778):
   * max tracking: strict-greater updates per step, first lane on ties
     (= min i+j, then min query-consumed, matching unittest_naive's
     max update at gaba.c:4702-4707).
-  * X-drop: terminate when the band-center score falls more than xdrop
-    below the running max, tested once per 32-step block
-    (gaba.c:1738).
+  * X-drop: gaba's saturating center-lane drop accumulator
+    (gaba.c:1650/1738, init -128 at gaba.c:3780-3788, tx = xdrop - 128
+    at gaba.c:3823): terminate when the center lane falls more than
+    xdrop below its rolling peak, tested once per 32-step block.
   * traceback mask bits stored per step per lane (6 masks: gfa-step,
     F-gap, gfb-step, E-gap, F-open, E-open), bit-packed to uint32;
     consumed by dp/traceback.py which reproduces the naive traceback
@@ -129,6 +130,11 @@ def _init_band(p: ScoreParams, W: int, B: int, a, b):
         gj_=jnp.zeros((B,), jnp.int32),
         term=jnp.zeros((B,), jnp.bool_),
         nsteps=jnp.zeros((B,), jnp.int32),
+        # gaba's x-drop accumulator (gaba.c:1650/1738/3780-3788):
+        # int8-saturating fall-from-rolling-peak of the center lane,
+        # initialized at the saturation floor -128; termination tests
+        # cdrop > xdrop - 128 at block ends
+        cdrop=jnp.full((B,), -128, jnp.int32),
     )
 
 
@@ -204,15 +210,19 @@ def _step(p: ScoreParams, W: int, st, anext, bnext, store_masks: bool):
                     jnp.maximum(F_new, SsrcF - gfa)))
     S_new = jnp.maximum(S_new, floor)
 
-    # traceback masks (boundary lanes are handled positionally on host)
+    # traceback masks (boundary lanes are handled positionally on host).
+    # Slots 0-3 mirror gaba's mask_gfv/gv/gfh/gh (S-source equalities,
+    # gaba.c:1617-1620); slots 4-5 mirror the open components of
+    # f.all/e.all (gaba.c:1625/1631: te = max(de, t), bit = te == t,
+    # i.e. the NEXT cell's E/F opens from this cell's S; ties open)
     if store_masks:
         masks = jnp.stack([
             _pack_bits(S_new == SsrcF - gfa),
             _pack_bits(S_new == F_new),
             _pack_bits(S_new == SsrcE - gfb),
             _pack_bits(S_new == E_new),
-            _pack_bits(F_new == SsrcF - gi - ge),
-            _pack_bits(E_new == SsrcE - gi - ge),
+            _pack_bits(S_new - gi >= F_new),
+            _pack_bits(S_new - gi >= E_new),
         ], axis=1)                            # (B, 6, 2)
     else:
         masks = None
@@ -258,6 +268,13 @@ def _step(p: ScoreParams, W: int, st, anext, bnext, store_masks: bool):
     gi_ = jnp.where(upd, ihead_new - step_arg, st["gi_"])
     gj_ = jnp.where(upd, (p_new + 2) - (ihead_new - step_arg), st["gj_"])
 
+    # x-drop accumulator: saturating (int8) negative sum of the center
+    # lane's per-step deltas (gaba's `drop = _subs_n(drop, _t)`,
+    # gaba.c:1650); clamps at -128 while rising, so it measures the
+    # center lane's fall from its rolling peak
+    cW = S.shape[1] // 2
+    cdrop = jnp.clip(st["cdrop"] - (S_new[:, cW] - S[:, cW]), -128, 127)
+
     st_new = dict(
         S=S_new, Sp=S, E=E_new, F=F_new,
         achar=achar_new, bchar=bchar_new,
@@ -265,6 +282,7 @@ def _step(p: ScoreParams, W: int, st, anext, bnext, store_masks: bool):
         gmax=gmax, gi_=gi_, gj_=gj_,
         term=st["term"],
         nsteps=st["nsteps"] + (~st["term"]).astype(jnp.int32),
+        cdrop=cdrop,
     )
     return st_new, down, masks
 
@@ -341,8 +359,10 @@ def make_fill(p: ScoreParams, W: int, max_blocks: int, trace: bool):
                         (0, blk, 0, 0, 0)),
                     dirs=bufs.dirs.at[:, blk].set(dirbits))
 
-            # X-drop test at block end (gaba.c:1738) + p-limit
-            xdrop_hit = (st["gmax"] - st["S"][:, c]) > p.xdrop
+            # X-drop test at block end (gaba.c:1738: TERM when the
+            # center-lane drop accumulator exceeds tx = xdrop - 128)
+            # + p-limit
+            xdrop_hit = st["cdrop"] > (p.xdrop - 128)
             st["term"] = st["term"] | xdrop_hit | (st["p"] >= plim)
             return (st, bufs, blk + 1)
 

@@ -4,14 +4,19 @@ only the op codes and counters transfer to the host (~50x less than
 shipping masks; the device->host link dominates E2E mapping time on
 tunneled backends).
 
-Semantics are EXACTLY dp/traceback.traceback_one's walk (the reference
-naive traceback priority, gaba.c:4721-4762), re-expressed as one op per
-loop iteration with an explicit phase register for the affine gap runs:
+Semantics are EXACTLY dp/traceback.traceback_one's walk — gaba's
+trace_core state machine (gaba.c:3123-3207): horizontal (R) gaps are
+tested in the d_head state, vertical (D) gaps only in the d_tail state
+(after a diagonal or a v-gap); a gap head takes the one-base gf branch
+when the folded bit (gh & ~gfh) | open_next is clear, else an affine
+run continuing while NOT (h == 0 and e == 1) at each arrived cell.
+Re-expressed as one op per loop iteration with a phase register for
+the affine runs and a head/tail state bit:
 
-  phase 0: normal (priority: gfa step, F run open, gfb step, E run
-           open, diagonal)
-  phase 1: inside an F (query gap) run
-  phase 2: inside an E (ref gap) run
+  phase 0: normal dispatch (head: h-gap or diagonal; tail: v-gap,
+           else h-gap, else diagonal)
+  phase 1: inside an F (query gap, 'D') run
+  phase 2: inside an E (ref gap, 'R') run
   phase 3: boundary drain on i==0 (emit D until j==0)
   phase 4: boundary drain on j==0 (emit R until i==0)
 
@@ -68,8 +73,9 @@ def make_device_traceback(p: ScoreParams, W: int):
             return jnp.take_along_axis(mflat, base, axis=1)
 
         def mbit(mw, mi, q):
-            w = mw[:, 2 * mi] * (q < 32) + mw[:, 2 * mi + 1] * (q >= 32)
-            return ((w >> (q % 32).astype(jnp.uint32)) & 1).astype(
+            qc = jnp.clip(q, 0, W - 1)
+            w = mw[:, 2 * mi] * (qc < 32) + mw[:, 2 * mi + 1] * (qc >= 32)
+            return ((w >> (qc % 32).astype(jnp.uint32)) & 1).astype(
                 jnp.int32)
 
         # ---- init (mirrors traceback_one's prologue)
@@ -106,6 +112,7 @@ def make_device_traceback(p: ScoreParams, W: int):
 
         state0 = dict(i=i0, j=j0, pp=pp0, q=q0,
                       phase=jnp.zeros(B, jnp.int32),
+                      head=jnp.ones(B, bool),   # gaba starts at d_head
                       done=empty | bad0, bad=bad0,
                       t=jnp.int32(0), ops=ops0, **counts0)
 
@@ -115,6 +122,7 @@ def make_device_traceback(p: ScoreParams, W: int):
         def body(st):
             i, j, pp, q = st["i"], st["j"], st["pp"], st["q"]
             phase = st["phase"]
+            head = st["head"]
             done = st["done"]
             bad = st["bad"]
             live = ~done
@@ -133,16 +141,25 @@ def make_device_traceback(p: ScoreParams, W: int):
             in_f = live & ~at_i0 & ~at_j0 & ~oob & (phase == 1)
             in_e = live & ~at_i0 & ~at_j0 & ~oob & (phase == 2)
 
-            b_gfa = norm & (j > 1) & (mbit(mw, M_GFA, q) == 1)
-            b_f = norm & ~b_gfa & (mbit(mw, M_F, q) == 1)
-            b_gfb = norm & ~b_gfa & ~b_f & (i > 1) & \
-                (mbit(mw, M_GFB, q) == 1)
-            b_e = norm & ~b_gfa & ~b_f & ~b_gfb & \
-                (mbit(mw, M_E, q) == 1)
-            b_dg = norm & ~b_gfa & ~b_f & ~b_gfb & ~b_e
+            # gaba mask algebra at the current cell
+            m_e = mbit(mw, M_E, q)
+            m_gfb = mbit(mw, M_GFB, q)
+            m_f = mbit(mw, M_F, q)
+            m_gfa = mbit(mw, M_GFA, q)
+            hb = (m_e | m_gfb) == 1
+            vb = (m_f | m_gfa) == 1
+            eb = ((m_e & (1 - m_gfb)) | mbit(mw, M_EO, q)) == 1
+            fb = ((m_f & (1 - m_gfa)) | mbit(mw, M_FO, q)) == 1
 
-            fo = mbit(mw, M_FO, q)
-            eo = mbit(mw, M_EO, q)
+            # dispatch: head tests the h side only; tail tests v first,
+            # then falls through to the head dispatch at the same cell
+            h_disp = norm & (head | (~head & ~vb))
+            v_disp = norm & ~head & vb
+            b_hgf = h_disp & hb & ~eb
+            b_e = h_disp & hb & eb
+            b_dg = h_disp & ~hb
+            b_vgf = v_disp & ~fb
+            b_f = v_disp & fb
 
             # boundary entry: price the whole remaining run up front
             # (traceback_one's i==0 / j==0 blocks)
@@ -156,8 +173,8 @@ def make_device_traceback(p: ScoreParams, W: int):
                 gfb_win = jnp.zeros_like(done)
 
             # ---- op selection
-            emit_d = at_i0 | b_gfa | b_f | in_f
-            emit_r = at_j0 | b_gfb | b_e | in_e
+            emit_d = at_i0 | b_vgf | b_f | in_f
+            emit_r = at_j0 | b_hgf | b_e | in_e
             emit_x = b_dg
             op = jnp.where(emit_d, OP_D,
                            jnp.where(emit_r, OP_R,
@@ -171,10 +188,10 @@ def make_device_traceback(p: ScoreParams, W: int):
                                     "n_ext", "gf_pen", "e_pen")}
             c["dcnt"] += b_dg
             c["bgcnt"] += jnp.where(ent_i0, j,
-                                    (b_gfa | b_f | in_f).astype(
+                                    (b_vgf | b_f | in_f).astype(
                                         jnp.int32))
             c["agcnt"] += jnp.where(ent_j0, i,
-                                    (b_gfb | b_e | in_e).astype(
+                                    (b_hgf | b_e | in_e).astype(
                                         jnp.int32))
             c["n_open"] += (b_f | b_e
                             | (ent_i0 & ~gfa_win)
@@ -182,11 +199,11 @@ def make_device_traceback(p: ScoreParams, W: int):
             c["n_ext"] += (b_f | in_f | b_e | in_e).astype(jnp.int32) \
                 + jnp.where(ent_i0 & ~gfa_win, j, 0) \
                 + jnp.where(ent_j0 & ~gfb_win, i, 0)
-            c["gf_pen"] += jnp.where(b_gfa, gfa_eff, 0) \
-                + jnp.where(b_gfb, gfb_eff, 0) \
+            c["gf_pen"] += jnp.where(b_vgf, gfa_eff, 0) \
+                + jnp.where(b_hgf, gfb_eff, 0) \
                 + jnp.where(ent_i0 & gfa_win, p.gfa * j, 0) \
                 + jnp.where(ent_j0 & gfb_win, p.gfb * i, 0)
-            c["e_pen"] += jnp.where(b_gfb, gfb_eff, 0) \
+            c["e_pen"] += jnp.where(b_hgf, gfb_eff, 0) \
                 + jnp.where(b_e, gi, 0) \
                 + jnp.where(b_e | in_e, ge, 0) \
                 + jnp.where(ent_j0 & gfb_win, p.gfb * i, 0) \
@@ -194,8 +211,8 @@ def make_device_traceback(p: ScoreParams, W: int):
 
             # ---- moves (gap runs move within the band; boundary
             # drains just count down)
-            mv_f = b_gfa | b_f | in_f
-            mv_e = b_gfb | b_e | in_e
+            mv_f = b_vgf | b_f | in_f
+            mv_e = b_hgf | b_e | in_e
             q_n = jnp.where(mv_f, q - (1 - d_pp),
                             jnp.where(mv_e, q + d_pp,
                                       jnp.where(b_dg,
@@ -206,15 +223,33 @@ def make_device_traceback(p: ScoreParams, W: int):
             i_n = i - (mv_e | b_dg | at_j0).astype(jnp.int32)
             j_n = j - (mv_f | b_dg | at_i0).astype(jnp.int32)
 
-            # ---- phase transitions
-            f_cont = (b_f | in_f) & (fo == 0) & (j_n > 0)
-            e_cont = (b_e | in_e) & (eo == 0) & (i_n > 0)
+            # ---- run continuation: stop iff the ARRIVED cell has
+            # (h == 0 and e == 1) (gaba's _trace_test_gap), else keep
+            # popping
+            mw1 = mwords(pp_n)
+            m_e1 = mbit(mw1, M_E, q_n)
+            m_gfb1 = mbit(mw1, M_GFB, q_n)
+            m_f1 = mbit(mw1, M_F, q_n)
+            m_gfa1 = mbit(mw1, M_GFA, q_n)
+            hb1 = (m_e1 | m_gfb1) == 1
+            vb1 = (m_f1 | m_gfa1) == 1
+            eb1 = ((m_e1 & (1 - m_gfb1)) | mbit(mw1, M_EO, q_n)) == 1
+            fb1 = ((m_f1 & (1 - m_gfa1)) | mbit(mw1, M_FO, q_n)) == 1
+            e_stop = ~hb1 & eb1
+            f_stop = ~vb1 & fb1
+            e_cont = (b_e | in_e) & ~e_stop & (i_n > 0)
+            f_cont = (b_f | in_f) & ~f_stop & (j_n > 0)
+
             phase_n = jnp.where(f_cont, 1,
                                 jnp.where(e_cont, 2,
                                           jnp.where(at_i0, 3,
                                                     jnp.where(at_j0, 4,
                                                               0))))
             phase_n = jnp.where(live, phase_n, phase)
+            # h-gaps return to d_head; diagonals and v-gaps to d_tail
+            head_n = jnp.where(live & (b_hgf | b_e | in_e), True,
+                               jnp.where(live & (b_dg | b_vgf | b_f
+                                                 | in_f), False, head))
 
             # run continuation out-of-band abort (checked on entry to
             # the next iteration via oob; the -1 <= q <= W post-check)
@@ -230,8 +265,8 @@ def make_device_traceback(p: ScoreParams, W: int):
             q = jnp.where(live, q_n, q)
 
             return dict(i=i, j=j, pp=pp, q=q, phase=phase_n,
-                        done=done_n, bad=bad_n, t=st["t"] + 1,
-                        ops=ops, **c)
+                        head=head_n, done=done_n, bad=bad_n,
+                        t=st["t"] + 1, ops=ops, **c)
 
         st = jax.lax.while_loop(cond, body, state0)
         counts = {k: st[k] for k in ("dcnt", "agcnt", "bgcnt", "n_open",

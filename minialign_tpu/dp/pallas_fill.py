@@ -54,7 +54,7 @@ from .band import BLK, NCODE, TAIL_N, FillResult, TraceBuffers, score_floor
 # SMEM operand flowing into the step math makes Mosaic emit
 # catastrophically slow code (~35x, measured on v5e).
 (R_IHEAD, R_RPREV, R_TERM, R_GMAX, R_GI, R_GJ, R_NSTEPS, R_PLIM,
- R_NSEG) = range(9)
+ R_NSEG, R_CDROP) = range(10)
 NROWS = 16
 # kept for old launch-style kernels (tests import _step_t only)
 R_P0 = R_PLIM
@@ -133,13 +133,16 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     S_new = jnp.maximum(S_new, floor)
 
     if trace:
+        # slots 4-5 are gaba's e.all/f.all open components (the NEXT
+        # cell's E/F opens from this cell's S; ties open — gaba.c:1631
+        # te = max(de, t), bit = te == t); must match dp/band.py
         masks = (
             S_new == SsrcF - gfa,
             S_new == F_new,
             S_new == SsrcE - gfb,
             S_new == E_new,
-            F_new == SsrcF - gi - ge,
-            E_new == SsrcE - gi - ge,
+            S_new - gi >= F_new,
+            S_new - gi >= E_new,
         )
     else:
         masks = ()
@@ -285,7 +288,8 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                       ihead0, sc_ref[R_RPREV:R_RPREV + 1])
             track0 = (sc_ref[R_GMAX:R_GMAX + 1], sc_ref[R_GI:R_GI + 1],
                       sc_ref[R_GJ:R_GJ + 1],
-                      sc_ref[R_NSTEPS:R_NSTEPS + 1])
+                      sc_ref[R_NSTEPS:R_NSTEPS + 1],
+                      sc_ref[R_CDROP:R_CDROP + 1])
             term0 = sc_ref[R_TERM:R_TERM + 1]
 
             def make_step_body(bulk):
@@ -298,6 +302,7 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                 anext = aslab[0:1].astype(jnp.int32)
                 bnext = bslab[0:1].astype(jnp.int32)
 
+                s_prev_c = carry[0][c:c + 1]
                 carry, down_i, masks, step_max, step_arg = _step_t(
                     p, W, B, carry, anext, bnext, pp, bulk=bulk,
                     trace=trace)
@@ -309,7 +314,7 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                 bslab = jnp.where(d, jnp.concatenate(
                     [bslab[1:], nrow], axis=0), bslab)
 
-                gmax, gi_, gj_, nsteps = track
+                gmax, gi_, gj_, nsteps, cdrop = track
                 upd = (step_max > gmax) & (term == 0)
                 ihead_new = carry[6]
                 gmax = jnp.where(upd, step_max, gmax)
@@ -317,6 +322,10 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                 gj_ = jnp.where(upd, (pp + 3) - (ihead_new - step_arg),
                                 gj_)
                 nsteps = nsteps + (term == 0).astype(jnp.int32)
+                # gaba's saturating center-lane drop accumulator
+                # (gaba.c:1650; see dp/band.py)
+                cdrop = jnp.clip(cdrop - (carry[0][c:c + 1] - s_prev_c),
+                                 -128, 127)
                 dirbits = dirbits | (down_i << (t % BLK))
 
                 if trace:
@@ -342,13 +351,13 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                     def _():
                         dirs_ref[seg * K + t // BLK] = dirbits[0]
 
-                xdrop_hit = ((gmax - carry[0][c:c + 1])
-                             > p.xdrop).astype(jnp.int32)
+                xdrop_hit = (cdrop
+                             > (p.xdrop - 128)).astype(jnp.int32)
                 term = jnp.where(at_blk_end, term | xdrop_hit, term)
                 dirbits = jnp.where(at_blk_end,
                                     jnp.zeros((1, B), jnp.int32),
                                     dirbits)
-                return (carry, (gmax, gi_, gj_, nsteps), term,
+                return (carry, (gmax, gi_, gj_, nsteps, cdrop), term,
                         aslab, bslab, dirbits, pp + 1)
               return step_body
 
@@ -385,6 +394,7 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
             sc_ref[R_GI:R_GI + 1] = track[1]
             sc_ref[R_GJ:R_GJ + 1] = track[2]
             sc_ref[R_NSTEPS:R_NSTEPS + 1] = track[3]
+            sc_ref[R_CDROP:R_CDROP + 1] = track[4]
             sc_ref[R_NSEG:R_NSEG + 1] = nseg_row + 1
 
             if trace:
@@ -455,6 +465,7 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         plim = jnp.minimum(alen + blen + 2 * TAIL_N,
                            jnp.int32(max_blocks * BLK - 2))
         sc = sc.at[R_PLIM].set(plim)
+        sc = sc.at[R_CDROP].set(jnp.full((B,), -128, jnp.int32))
 
         NB = max_blocks
         kernel = _make_fill_kernel(p, W, BC, trace, K, n_seg, PA, PB)

@@ -1,11 +1,14 @@
 """Host-side traceback over device-produced band mask buffers.
 
-Reproduces the reference naive traceback priority (gaba.c:4721-4762):
-at each cell, test (1) the gfa linear query-gap step, (2) the F affine
-query-gap run (closed at the earliest opening), (3) the gfb linear
-ref-gap step, (4) the E affine ref-gap run, (5) diagonal. The walk
-navigates the band geometry using the per-step direction bits recorded
-by the fill (see dp/band.py for the lane algebra).
+Reproduces gaba's trace_core state machine exactly (gaba.c:3123-3207
+with the COMBINED-model mask tests at gaba.c:2966-2972): horizontal
+(ref/R) gaps are tested in the d_head state, vertical (query/D) gaps
+only in the d_tail state entered after a diagonal pair or a v-gap; a
+gap head takes the one-base gf branch when the folded e/f bit
+((gh & ~gfh) | open_next, gaba.c:1620/1631) is clear, else an affine
+run that continues while NOT (h == 0 and e == 1) at each arrived cell.
+The walk navigates the band geometry using the per-step direction bits
+recorded by the fill (see dp/band.py for the lane algebra).
 
 The reference walks stored masks the same way (trace_core,
 gaba.c:3111-3239); out-of-band walks abort and return None, matching
@@ -144,6 +147,7 @@ def traceback_one(p: ScoreParams, W: int,
         j -= 1
         pp -= 2
 
+    head = True                  # gaba starts in state ts_d (d_head)
     while i > 0 or j > 0:
         if i == 0:
             # leading gap on the query side: exact boundary penalty
@@ -172,49 +176,80 @@ def traceback_one(p: ScoreParams, W: int,
             break
         if not (0 <= q < W):
             return None
-        if j > 1 and mbit(pp, M_GFA, q):
-            ops.append("D")
-            bgcnt += 1
-            n_gf += 1
-            gf_pen += p.gfa_eff
-            move_f()
-        elif mbit(pp, M_F, q):
-            n_open += 1
-            while True:
-                fo = mbit(pp, M_FO, q)
-                ops.append("D")
-                bgcnt += 1
-                n_ext += 1
-                move_f()
-                if fo or j <= 0:
-                    break
-                if not (0 <= q < W):
-                    return None
-        elif i > 1 and mbit(pp, M_GFB, q):
-            ops.append("R")
-            agcnt += 1
-            n_gf += 1
-            gf_pen += p.gfb_eff
-            e_pen += p.gfb_eff
-            move_e()
-        elif mbit(pp, M_E, q):
-            n_open += 1
-            e_pen += gi
-            while True:
-                eo = mbit(pp, M_EO, q)
-                ops.append("R")
-                agcnt += 1
-                n_ext += 1
-                e_pen += ge
-                move_e()
-                if eo or i <= 0:
-                    break
-                if not (0 <= q < W):
-                    return None
+        # gaba's trace_core state machine (gaba.c:3123-3207, COMBINED
+        # model tests at gaba.c:2966-2972): horizontal (R/ref) gaps are
+        # tested in the d_head state, vertical (D/query) gaps only in
+        # the d_tail state (entered after a diagonal pair or a v-gap);
+        # gap kind and affine-run extent come from the folded bits
+        #   h = gh|gfh, e = (gh & ~gfh) | open_next   (gaba.c:1620/1631)
+        # with a run continuing while NOT (h == 0 and e == 1) at the
+        # arrived cell, and the gf (one-base) branch taken at a gap
+        # head when e == 0.
+        if head:
+            if mbit(pp, M_E, q) or mbit(pp, M_GFB, q):
+                eb = (mbit(pp, M_E, q) & (1 - mbit(pp, M_GFB, q))) \
+                    | mbit(pp, M_EO, q)
+                if not eb:
+                    ops.append("R")
+                    agcnt += 1
+                    n_gf += 1
+                    gf_pen += p.gfb_eff
+                    e_pen += p.gfb_eff
+                    move_e()
+                else:
+                    n_open += 1
+                    e_pen += gi
+                    while True:
+                        ops.append("R")
+                        agcnt += 1
+                        n_ext += 1
+                        e_pen += ge
+                        move_e()
+                        if i <= 0:
+                            break
+                        if not (0 <= q < W):
+                            return None
+                        hb = mbit(pp, M_E, q) | mbit(pp, M_GFB, q)
+                        eb = (mbit(pp, M_E, q)
+                              & (1 - mbit(pp, M_GFB, q))) \
+                            | mbit(pp, M_EO, q)
+                        if not hb and eb:
+                            break
+            else:
+                ops.append("RD")     # backward: R then D = fwd "DR"
+                dcnt += 1
+                move_diag()
+                head = False
         else:
-            ops.append("RD")     # backward: R then D = forward "DR"
-            dcnt += 1
-            move_diag()
+            if mbit(pp, M_F, q) or mbit(pp, M_GFA, q):
+                fb = (mbit(pp, M_F, q) & (1 - mbit(pp, M_GFA, q))) \
+                    | mbit(pp, M_FO, q)
+                if not fb:
+                    ops.append("D")
+                    bgcnt += 1
+                    n_gf += 1
+                    gf_pen += p.gfa_eff
+                    move_f()
+                else:
+                    n_open += 1
+                    while True:
+                        ops.append("D")
+                        bgcnt += 1
+                        n_ext += 1
+                        move_f()
+                        if j <= 0:
+                            break
+                        if not (0 <= q < W):
+                            return None
+                        vb = mbit(pp, M_F, q) | mbit(pp, M_GFA, q)
+                        fb = (mbit(pp, M_F, q)
+                              & (1 - mbit(pp, M_GFA, q))) \
+                            | mbit(pp, M_FO, q)
+                        if not vb and fb:
+                            break
+            else:
+                head = True
+                continue
         if not (-1 <= q <= W):
             return None
 

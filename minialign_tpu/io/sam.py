@@ -5,11 +5,13 @@ Format semantics from the reference printer (minialign.c:4734-5701):
     quality '*' unless kept; soft clips on primary records, hard clips
     on secondary/supplementary; flag 0x10 from the strand, 0x800 for
     supplementary (non-first unique), 0x100 for secondary.
-  * CIGAR run conventions follow the gaba bit-path parser
-    (gaba_parse.h:148-190): a query-gap run adjacent to a following
-    ref-gap run re-associates one op pair into M (real alignments
-    always start and end with M, so this only affects interior I/D
-    junctions, which the reference parser merges the same way).
+  * CIGAR (and MD / MAF-row) tokenization follows gaba's REVERSE path
+    parser (_parser_loop_rv, gaba_parse.h:168-190) over the up-space
+    bit path — the parse every reference printer applies
+    (gaba_dump_cigar_reverse at minialign.c:5173/5224/5613, the MD
+    walker at :5292, gaba_dump_seq_reverse for MAF). See
+    parse_path_rv; the forward parser cigar_ops is kept for
+    forward-space paths (tests, debugging).
   * mapq is stored x16 and printed >> 4 (MAPQ_DEC, minialign.c:4175).
   * MD re-walks the path against both sequences (minialign.c:5240).
 """
@@ -25,6 +27,92 @@ from .bseq import DEC_F, decode
 
 
 _OPC = "MID"
+
+
+def parse_path_rv(upath: str, off: int, plen: int) -> list:
+    """gaba's reverse path parser (_parser_loop_rv, gaba_parse.h:168-190)
+    over the up-space bit path — the parse every reference printer uses
+    (gaba_dump_cigar_reverse for SAM/SA cigars at minialign.c:5173/5224,
+    the MD walker at :5292, gaba_dump_seq_reverse for MAF rows).
+
+    Scans the bits of upath[off:off+plen] from the top (up-space end =
+    display-order start) and emits [(count, 'M'|'I'|'D')] in display
+    order. Replicates the reference's 64-bit window mechanics exactly:
+    a ref-gap (D) run leaves its last op behind per window (so runs
+    longer than 63 split, and a D-run directly followed by an I
+    re-associates one op pair into M), insertion runs split at 64, and
+    bits below `off` (earlier path segments, or the zero padding below
+    the path head, which reads as 'R') participate in the window
+    counts."""
+    from .. import native
+    if native.available():
+        r = native.parse_rv(upath, off, plen)
+        if r is not None:
+            return r
+    pops = upath[off:off + plen][::-1]
+    ctx = upath[:off][::-1]            # scan continues here past pops
+    n = plen
+    nctx = len(ctx)
+
+    def at(k):                          # scan char at position k
+        if k < n:
+            return pops[k]
+        k -= n
+        return ctx[k] if k < nctx else "R"
+
+    def run(i, ch):                     # ch-run length from i, cap 64
+        m = 0
+        while m < 64 and at(i + m) == ch:
+            m += 1
+        return m
+
+    def altrun(i):                      # R,D,R,D... pattern run from i
+        m = 0
+        while at(i + m) == ("R" if (m & 1) == 0 else "D"):
+            m += 1
+        return m
+
+    out = []
+    i = 0
+    while i < n:
+        start = i
+        m = run(i, "R")
+        c = min(n - i, m - (1 if m > 0 else 0))
+        if c:
+            out.append((c, "D"))
+            i += c
+        m = run(i, "D")
+        c = min(n - i, m)
+        if c:
+            out.append((c, "I"))
+            i += c
+        c = min(n - i, altrun(i)) & ~1
+        if c:
+            out.append((c >> 1, "M"))
+            i += c
+        if i == start:
+            # progress guard: a trailing lone R over a non-R context
+            # char cannot advance under the window rules. Real paths
+            # never hit this (segments split after R moves, and the
+            # padding below the path head reads as R), but guard
+            # against a stall on malformed input.
+            out.append((1, "D" if pops[i] == "R" else "I"))
+            i += 1
+    return out
+
+
+def seg_tokens(a, s) -> list:
+    """Display-order cigar tokens for one path segment of an alignment,
+    via the reference's reverse parse of the up-space path."""
+    up = getattr(a, "upath", "")
+    if up:
+        off = len(up) - (s.po + len(s.path))
+        return parse_path_rv(up, off, len(s.path))
+    return cigar_ops(s.path)            # fallback: forward-space parse
+
+
+def cigar_from(tokens) -> str:
+    return "".join(f"{c}{op}" for c, op in tokens)
 
 
 def cigar_ops(path: str) -> list:
@@ -69,34 +157,34 @@ def cigar_string(path: str) -> str:
     return "".join(f"{c}{op}" for c, op in cigar_ops(path))
 
 
-def md_tag(path: str, rcodes: np.ndarray, qcodes: np.ndarray) -> str:
-    """MD:Z value: match-run lengths, mismatch ref bases, ^-prefixed
-    deletions (minialign.c:5240-5298). rcodes/qcodes are the aligned
-    slices (ref forward, query in alignment orientation)."""
-    from .. import native
-    if native.available():
-        return native.md_walk(path, np.asarray(rcodes),
-                              np.asarray(qcodes))
+def md_tag(tokens: list, rcodes: np.ndarray, qcodes: np.ndarray) -> str:
+    """MD:Z value from display-order cigar tokens: match-run lengths,
+    mismatch ref bases, ^-prefixed deletions (minialign.c:5240-5298 —
+    which walks the same _parser_loop_rv tokens). rcodes/qcodes are the
+    aligned slices (ref forward, query in alignment orientation)."""
     out = []
     run = 0
     ri = qi = 0
     dec = DEC_F.tobytes().decode()
-    for c, op in cigar_ops(path):
+    rc = np.asarray(rcodes)
+    qc = np.asarray(qcodes)
+    for c, op in tokens:
         if op == "M":
-            for _ in range(c):
-                if rcodes[ri] == qcodes[qi]:
-                    run += 1
-                else:
-                    out.append(str(run))
-                    out.append(dec[min(int(rcodes[ri]), 4)])
-                    run = 0
-                ri += 1
-                qi += 1
+            r = rc[ri:ri + c]
+            last = 0
+            for k in np.flatnonzero(r != qc[qi:qi + c]):
+                out.append(str(run + int(k) - last))
+                out.append(dec[min(int(r[k]), 4)])
+                run = 0
+                last = int(k) + 1
+            run += c - last
+            ri += c
+            qi += c
         elif op == "D":
             out.append(str(run))
             run = 0
             out.append("^" + "".join(dec[min(int(x), 4)]
-                                     for x in rcodes[ri:ri + c]))
+                                     for x in rc[ri:ri + c]))
             ri += c
         else:
             qi += c
@@ -183,10 +271,11 @@ class SamWriter:
         qe = qlen - (tl if hard else 0)
         clip = "H" if hard else "S"
 
+        toks = seg_tokens(a, s)
         cig = []
         if hl:
             cig.append(f"{hl}{clip}")
-        cig.append(cigar_string(s.path))
+        cig.append(cigar_from(toks))
         if tl:
             cig.append(f"{tl}{clip}")
 
@@ -220,7 +309,7 @@ class SamWriter:
             rsl = np.asarray(ref_codes[a.rid][s.as0:s.ae])
             qdir = seq.codes if not a.rev else \
                 (3 - seq.codes[::-1]).astype(np.int8)
-            w("\tMD:Z:" + md_tag(s.path, rsl, qdir[s.bs0:s.be]))
+            w("\tMD:Z:" + md_tag(toks, rsl, qdir[s.bs0:s.be]))
 
     def _primary_tags(self, ref_names, seq, reg) -> bool:
         """mm_print_sam_primary_tags (minialign.c:5348-5384); returns
@@ -245,7 +334,7 @@ class SamWriter:
                     parts = []
                     if shl:
                         parts.append(f"{shl}H")
-                    parts.append(cigar_string(s.path))
+                    parts.append(cigar_from(seg_tokens(sa, s)))
                     if stl:
                         parts.append(f"{stl}H")
                     # SA's mapq is printed RAW (x16: mm_print_sam_supp
@@ -308,14 +397,16 @@ def _fixed(n: int, c: int) -> str:
     return s[:-c] + "." + s[-c:]
 
 
-def gapped_pair(path: str, rcodes, qcodes) -> tuple:
-    """Gapped alignment rows for MAF (ref row, query row)."""
+def gapped_pair(tokens: list, rcodes, qcodes) -> tuple:
+    """Gapped alignment rows for MAF (ref row, query row), from
+    display-order cigar tokens (the reference renders these with
+    gaba_dump_seq_reverse — the same _parser_loop_rv tokens)."""
     from .bseq import decode
     r = decode(rcodes).decode()
     q = decode(qcodes).decode()
     ri = qi = 0
     ro, qo = [], []
-    for c, op in cigar_ops(path):
+    for c, op in tokens:
         if op == "M":
             ro.append(r[ri:ri + c])
             qo.append(q[qi:qi + c])
@@ -363,7 +454,10 @@ class MafWriter:
             nr = a.path.count("R")
             rsl = np.take(np.asarray(ref_codes[a.rid]),
                           (a.as0 + np.arange(nr)) % rlen_i)
-            rrow, qrow = gapped_pair(a.path, rsl, qdir[a.bs0:a.be])
+            up = getattr(a, "upath", "")
+            rrow, qrow = gapped_pair(parse_path_rv(up, 0, len(up))
+                                     if up else cigar_ops(a.path),
+                                     rsl, qdir[a.bs0:a.be])
             w(f"s {rname.ljust(pad)}{rs_s} {al_s} + {rl_s} {rrow}\n")
             w(f"s {qname.ljust(pad)}{qs_s} {bl_s} "
               f"{'-' if a.rev else '+'} {ql_s} {qrow}\n\n")

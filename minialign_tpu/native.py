@@ -70,6 +70,9 @@ def _load():
         ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(_TraceOut)]
     lib.cigar_rle.restype = ctypes.c_int64
     lib.cigar_rle.argtypes = [ctypes.c_char_p, ctypes.c_int64, u32p]
+    lib.parse_rv.restype = ctypes.c_int64
+    lib.parse_rv.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                             ctypes.c_int64, u32p, ctypes.c_int64]
     lib.md_walk.restype = ctypes.c_int64
     lib.md_walk.argtypes = [ctypes.c_char_p, ctypes.c_int64, i8p, i8p,
                             ctypes.c_char_p]
@@ -119,6 +122,21 @@ def cigar_rle(path: str) -> np.ndarray | None:
     out = np.empty(len(b) + 1, np.uint32)
     n = lib.cigar_rle(b, len(b), out)
     return out[:n]
+
+
+def parse_rv(upath: str, off: int, plen: int) -> list | None:
+    """Display-order cigar tokens [(count, op)] via the gaba reverse
+    parse (see io/sam.py parse_path_rv and the C implementation)."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = upath.encode("latin1")
+    out = np.empty(plen + 2, np.uint32)
+    n = lib.parse_rv(b, off, plen, out, len(out))
+    if n < 0:
+        return None
+    opc = "MID"
+    return [(int(w) >> 4, opc[w & 15]) for w in out[:n]]
 
 
 def md_walk(path: str, rcodes: np.ndarray, qcodes: np.ndarray) -> str | None:

@@ -90,6 +90,7 @@ int trace_one(const uint32_t* masks, const uint32_t* dirs,
   ops.reserve((size_t)(ai + bj));
   int64_t dcnt = 0, agcnt = 0, bgcnt = 0;
   int64_t n_open = 0, n_ext = 0, gf_pen = 0, e_pen = 0;
+  bool head = true;                // gaba starts in state ts_d (d_head)
 
   auto move_f = [&]() { q -= (dir_at(pp) == 1 ? 0 : 1); j--; pp--; };
   auto move_e = [&]() { q += (dir_at(pp) == 1 ? 1 : 0); i--; pp--; };
@@ -123,35 +124,62 @@ int trace_one(const uint32_t* masks, const uint32_t* dirs,
       break;
     }
     if (!(0 <= q && q < W)) { out->status = 1; return 1; }
-    if (j > 1 && mbit(pp, MK_GFA, q)) {
-      ops.push_back('D'); bgcnt++; gf_pen += tp->gfa_eff;
-      move_f();
-    } else if (mbit(pp, MK_F, q)) {
-      n_open++;
-      while (true) {
-        int fo = mbit(pp, MK_FO, q);
-        ops.push_back('D'); bgcnt++; n_ext++;
-        move_f();
-        if (fo || j <= 0) break;
-        if (!(0 <= q && q < W)) { out->status = 1; return 1; }
-      }
-    } else if (i > 1 && mbit(pp, MK_GFB, q)) {
-      ops.push_back('R'); agcnt++; gf_pen += tp->gfb_eff;
-      e_pen += tp->gfb_eff;
-      move_e();
-    } else if (mbit(pp, MK_E, q)) {
-      n_open++; e_pen += gi;
-      while (true) {
-        int eo = mbit(pp, MK_EO, q);
-        ops.push_back('R'); agcnt++; n_ext++; e_pen += ge;
-        move_e();
-        if (eo || i <= 0) break;
-        if (!(0 <= q && q < W)) { out->status = 1; return 1; }
+    // gaba's trace_core state machine (gaba.c:3123-3207): horizontal
+    // (R) gaps tested in the d_head state, vertical (D) gaps only in
+    // the d_tail state; gap entry takes the one-base gf branch when
+    // the folded bit (gh & ~gfh) | open_next is clear, else an affine
+    // run continuing while NOT (h == 0 && e == 1) at the arrived cell.
+    if (head) {
+      if (mbit(pp, MK_E, q) | mbit(pp, MK_GFB, q)) {
+        int eb = (mbit(pp, MK_E, q) & (1 - mbit(pp, MK_GFB, q)))
+               | mbit(pp, MK_EO, q);
+        if (!eb) {
+          ops.push_back('R'); agcnt++; gf_pen += tp->gfb_eff;
+          e_pen += tp->gfb_eff;
+          move_e();
+        } else {
+          n_open++; e_pen += gi;
+          while (true) {
+            ops.push_back('R'); agcnt++; n_ext++; e_pen += ge;
+            move_e();
+            if (i <= 0) break;
+            if (!(0 <= q && q < W)) { out->status = 1; return 1; }
+            int hb = mbit(pp, MK_E, q) | mbit(pp, MK_GFB, q);
+            int eb2 = (mbit(pp, MK_E, q) & (1 - mbit(pp, MK_GFB, q)))
+                    | mbit(pp, MK_EO, q);
+            if (!hb && eb2) break;
+          }
+        }
+      } else {
+        ops.push_back('X');        // diag: backward "RD" / forward "DR"
+        dcnt++;
+        move_diag();
+        head = false;
       }
     } else {
-      ops.push_back('X');          // diag: backward "RD" / forward "DR"
-      dcnt++;
-      move_diag();
+      if (mbit(pp, MK_F, q) | mbit(pp, MK_GFA, q)) {
+        int fb = (mbit(pp, MK_F, q) & (1 - mbit(pp, MK_GFA, q)))
+               | mbit(pp, MK_FO, q);
+        if (!fb) {
+          ops.push_back('D'); bgcnt++; gf_pen += tp->gfa_eff;
+          move_f();
+        } else {
+          n_open++;
+          while (true) {
+            ops.push_back('D'); bgcnt++; n_ext++;
+            move_f();
+            if (j <= 0) break;
+            if (!(0 <= q && q < W)) { out->status = 1; return 1; }
+            int vb = mbit(pp, MK_F, q) | mbit(pp, MK_GFA, q);
+            int fb2 = (mbit(pp, MK_F, q) & (1 - mbit(pp, MK_GFA, q)))
+                    | mbit(pp, MK_FO, q);
+            if (!vb && fb2) break;
+          }
+        }
+      } else {
+        head = true;
+        continue;
+      }
     }
     if (!(-1 <= q && q <= W)) { out->status = 1; return 1; }
   }
@@ -205,6 +233,54 @@ int64_t cigar_rle(const char* path, int64_t n, uint32_t* out) {
     else if (i < n && path[i] == 'D') { out[w++] = (1u << 4) | 1; i++; }
   }
   return w;
+}
+
+// ---------------------------------------------------------------------------
+// gaba reverse path parse (_parser_loop_rv, gaba_parse.h:168-190; the
+// parse behind every reference printer — see io/sam.py parse_path_rv):
+// scans the up-space bit path chars top-down with 64-bit window
+// mechanics (del runs leave one op per window, ins runs split at 64,
+// R-D pairs fold to M); chars below `off` are earlier segments, below
+// the path head read as 'R' (zero bits). out: (count<<4 | op),
+// op 0=M 1=I 2=D. Returns token count, or -1 on overflow.
+// ---------------------------------------------------------------------------
+
+int64_t parse_rv(const char* upath, int64_t off, int64_t plen,
+                 uint32_t* out, int64_t cap) {
+  auto at = [&](int64_t k) -> char {   // scan pos k (from the top)
+    int64_t p = off + plen - 1 - k;
+    return p >= 0 ? upath[p] : 'R';
+  };
+  int64_t n = 0, i = 0;
+  while (i < plen) {
+    int64_t start = i;
+    int64_t m = 0;
+    while (m < 64 && at(i + m) == 'R') m++;
+    int64_t c = std::min(plen - i, m - (m > 0 ? 1 : 0));
+    if (c) {
+      if (n >= cap) return -1;
+      out[n++] = ((uint32_t)c << 4) | 2; i += c;
+    }
+    m = 0;
+    while (m < 64 && at(i + m) == 'D') m++;
+    c = std::min(plen - i, m);
+    if (c) {
+      if (n >= cap) return -1;
+      out[n++] = ((uint32_t)c << 4) | 1; i += c;
+    }
+    m = 0;
+    while (at(i + m) == ((m & 1) ? 'D' : 'R')) m++;
+    c = std::min(plen - i, m) & ~(int64_t)1;
+    if (c) {
+      if (n >= cap) return -1;
+      out[n++] = ((uint32_t)(c >> 1) << 4) | 0; i += c;
+    }
+    if (i == start) {           // progress guard (see io/sam.py)
+      if (n >= cap) return -1;
+      out[n++] = (1u << 4) | (at(i) == 'R' ? 2u : 1u); i += 1;
+    }
+  }
+  return n;
 }
 
 // ---------------------------------------------------------------------------
@@ -425,7 +501,7 @@ int64_t sketch_seq(const int8_t* codes, int64_t L, int32_t k, int32_t w,
     k1 = (k1 >> 2) | ((3ULL ^ c) << shift1);
     if (i < k - 1) continue;
     int64_t p = i - (k - 1);                      // k-mer start pos
-    uint64_t strand = (k1 & mask) < k0 ? 1 : 0;
+    uint64_t strand = (k1 & mask) <= k0 ? 1 : 0;  // tie -> reverse
     uint64_t km = strand ? (k1 & mask) : k0;
     uint64_t kx = strand ? k0 : (k1 & mask);
     uint64_t h = (crc32c_u64(kx, kx) ^ km) & mask;

@@ -321,3 +321,30 @@ def test_repetitive_sam_byte_identical():
                     f"{DATA}/repreads.fq"])
     want = open(f"{DATA}/ref_rep.sam").read()
     assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_traceback_tie_sam_byte_identical():
+    """Exact-score tie between a diagonal mismatch and a gf-gap +
+    affine-run extension: requires gaba's trace_core state machine
+    (d_head/d_tail dispatch, folded e/f bits) AND the printers'
+    reverse path parse (gaba_dump_cigar_reverse re-association).
+    Found by tests/tools/fuzz_parity.py (seed 2, case 5)."""
+    got = _run_cli(["-t1", "-xpacbio.ccs", f"{DATA}/tieref.fa",
+                    f"{DATA}/tiereads.fq"])
+    want = open(f"{DATA}/ref_tie.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_xdrop_rolling_peak_byte_identical():
+    """Low-identity secondary alignment whose center lane dips more
+    than xdrop below the global max while staying within xdrop of its
+    own rolling peak: requires gaba's saturating per-lane drop
+    accumulator (gaba.c:1650/1738/3823), not a global-max drop test.
+    Found by tests/tools/fuzz_parity.py (seed 3, case 7)."""
+    got = _run_cli(["-t1", "-a2", "-b1", "-p4", "-q2", "-TAS,NM,XS,NH",
+                    f"{DATA}/xdref.fa", f"{DATA}/xdreads.fq"])
+    want = open(f"{DATA}/ref_xdrop.sam").read()
+    got_l, want_l = _strip_pg(got), _strip_pg(want)
+    assert _strip_md(got_l) == _strip_md(want_l)

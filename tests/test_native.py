@@ -25,22 +25,29 @@ def _fallback(module, fn, *args, **kw):
         native._lib, native._tried = old
 
 
-def test_cigar_and_md_parity():
+def test_cigar_and_parse_rv_parity():
     from minialign_tpu.io import sam
     rng = np.random.default_rng(5)
-    for _ in range(50):
+    for it in range(60):
         n = int(rng.integers(1, 400))
-        path = "".join(rng.choice(["D", "R", "DR"], n))
-        nr = path.count("R")
-        nd = path.count("D")
-        rc = rng.integers(0, 5, nr).astype(np.int8)
-        qc = rng.integers(0, 5, nd).astype(np.int8)
+        toks = ["D", "R", "DR"]
+        if it % 5 == 4:                       # exercise >64 gap runs
+            toks += ["R" * int(rng.integers(60, 200)),
+                     "D" * int(rng.integers(60, 200))]
+        path = "".join(rng.choice(toks, n))
         got_ops = sam.cigar_ops(path)
         want_ops = _fallback(sam, sam.cigar_ops, path)
         assert got_ops == want_ops, path
-        got_md = sam.md_tag(path, rc, qc)
-        want_md = _fallback(sam, sam.md_tag, path, rc, qc)
-        assert got_md == want_md, path
+        L = len(path)
+        for off in (0, L // 3):
+            plen = L - off if off == 0 else L - off - L // 4
+            if plen <= 0:
+                continue
+            got = sam.parse_path_rv(path, off, plen)
+            want = _fallback(sam, sam.parse_path_rv, path, off, plen)
+            assert got == want, (path, off, plen)
+            assert sum(c * (2 if op == "M" else 1)
+                       for c, op in got) == plen
 
 
 def test_fastx_parse_parity(tmp_path):
