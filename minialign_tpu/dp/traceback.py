@@ -42,6 +42,9 @@ class TraceResult:
     bgcnt: int             # gap bases on b
     identity: float
     gap_penalty: int       # total gap penalty (positive)
+    ops_rev: str = ""      # walker tokens in pop order: 'X' diagonal
+                           # pair / 'R' / 'D'; circular segment splits
+                           # depend on these (see extend.split_segments)
 
     @property
     def plen(self) -> int:
@@ -81,12 +84,13 @@ def traceback_one(p: ScoreParams, W: int,
                              int(score), int(ai), int(bj))
         if r is None:
             return None
-        path, path_rev, dcnt, agcnt, bgcnt, gap_penalty, e_pen = r
+        path, path_rev, dcnt, agcnt, bgcnt, gap_penalty, e_pen, \
+            ops_rev = r
         return TraceResult(score=score, alen=ai, blen=bj, path=path,
                            path_rev=path_rev, dcnt=dcnt, agcnt=agcnt,
                            bgcnt=bgcnt,
                            identity=_identity(p, score, dcnt, e_pen),
-                           gap_penalty=gap_penalty)
+                           gap_penalty=gap_penalty, ops_rev=ops_rev)
 
     nb = dirs.shape[0]
     # per-step direction bits and ihead values
@@ -255,12 +259,13 @@ def traceback_one(p: ScoreParams, W: int,
 
     path = "".join(ops)[::-1]
     path_rev = "".join("DR" if op == "RD" else op for op in ops)
+    ops_rev = "".join("X" if op == "RD" else op for op in ops)
     gap_penalty = n_open * gi + n_ext * ge + gf_pen
     return TraceResult(score=score, alen=ai, blen=bj, path=path,
                        path_rev=path_rev,
                        dcnt=dcnt, agcnt=agcnt, bgcnt=bgcnt,
                        identity=_identity(p, score, dcnt, e_pen),
-                       gap_penalty=gap_penalty)
+                       gap_penalty=gap_penalty, ops_rev=ops_rev)
 
 
 def traceback_batch(p: ScoreParams, W: int, bufs, res) -> list:

@@ -108,24 +108,65 @@ class Aln:
         return len(self.segs)
 
 
-def split_segments(as0_u: int, bs0: int, path: str, rlen: int) -> list:
+def split_segments(as0_u: int, bs0: int, path: str, rlen: int,
+                   ops: list | None = None) -> list:
     """Split a (possibly origin-wrapping) alignment into per-pass
     segments. as0_u is the unwrapped ref start (negative when the
     alignment began before the origin of the final pass); the split
     points are the multiples of rlen crossed by the ref walk."""
+    # walk the WALKER's pop tokens (ops: 'X' diagonal pair / 'R' /
+    # 'D'), not raw path chars: gaba pushes the segment boundary when a
+    # pop's section test fires, and only h-gap and diagonal pops test
+    # the a-side index (_trace_tail_h/d_test_index, gaba.c:2935-2937).
+    # A v-gap pop checks bgidx alone, so insertions that follow the
+    # origin-crossing DIAGONAL stay in the current segment, while a
+    # lone crossing R (gap pop, returning to d_head) splits at once.
+    if ops is None:
+        ops = []                   # derive pair tokens from the chars
+        i = 0
+        while i < len(path):
+            if path[i] == "D" and i + 1 < len(path) \
+                    and path[i + 1] == "R":
+                ops.append("X")
+                i += 2
+            else:
+                ops.append(path[i])
+                i += 1
     segs = []
     seg_a0, seg_b0, start = as0_u, bs0, 0
     apos, bpos = as0_u, bs0
-    for i, ch in enumerate(path):
-        if ch == "R":
-            apos += 1
-            if apos % rlen == 0 and i + 1 < len(path):
-                segs.append(Seg(seg_a0 % rlen, ((apos - 1) % rlen) + 1,
-                                seg_b0, bpos, path[start:i + 1],
-                                po=start))
-                seg_a0, seg_b0, start = apos, bpos, i + 1
+    pos = 0                        # char position in path
+    k, n = 0, len(ops)
+    while k < n:
+        t = ops[k]
+        if t == "X" or t[0] == "R":
+            w = len(t) if t[0] == "R" else 1
+            crossed = False
+            for _ in range(w):     # boundary drains are multi-R tokens
+                apos += 1
+                if apos % rlen == 0:
+                    crossed = True
+            if t == "X":
+                bpos += 1
+            pos += 2 if t == "X" else len(t)
+            k += 1
+            if crossed:
+                if t == "X":
+                    # absorb following v pops into this segment
+                    while k < n and ops[k][0] == "D":
+                        bpos += len(ops[k])
+                        pos += len(ops[k])
+                        k += 1
+                if k < n:
+                    segs.append(Seg(seg_a0 % rlen,
+                                    ((apos - 1) % rlen) + 1,
+                                    seg_b0, bpos, path[start:pos],
+                                    po=start))
+                    seg_a0, seg_b0, start = apos, bpos, pos
         else:
-            bpos += 1
+            bpos += len(t)
+            pos += len(t)
+            k += 1
     segs.append(Seg(seg_a0 % rlen, ((apos - 1) % rlen) + 1, seg_b0, bpos,
                     path[start:], po=start))
     return segs
@@ -324,6 +365,7 @@ class FillEngine:
 
     _OPS_FWD = np.array(["", "D", "R", "RD"])
     _OPS_REV = np.array(["", "D", "R", "DR"])
+    _OPS_TOK = np.array(["", "D", "R", "X"])
 
     def _trace_device_dispatch(self, sub, W, res_d, bufs):
         """TPU trace path, dispatch half: the mask walk runs ON DEVICE
@@ -370,6 +412,7 @@ class FillEngine:
                 col = ops[:n_ops[s], s]
                 path = "".join(self._OPS_FWD[col])[::-1]
                 path_rev = "".join(self._OPS_REV[col])
+                ops_rev = "".join(self._OPS_TOK[col])
                 dcnt = int(counts["dcnt"][s])
                 gap_penalty = (int(counts["n_open"][s]) * p.gi
                                + int(counts["n_ext"][s]) * p.ge
@@ -381,7 +424,7 @@ class FillEngine:
                     bgcnt=int(counts["bgcnt"][s]),
                     identity=_identity(p, score, dcnt,
                                        int(counts["e_pen"][s])),
-                    gap_penalty=gap_penalty)
+                    gap_penalty=gap_penalty, ops_rev=ops_rev)
             out[i] = (score, ai, bj, tr)
 
     def _req_lens(self, a, b):
@@ -702,7 +745,8 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int,
 
                 ae, be = st.tp
                 as0_u, bs0 = ae - umi, be - umj
-                segs = split_segments(as0_u, bs0, tr.path_rev, rlen) \
+                segs = split_segments(as0_u, bs0, tr.path_rev, rlen,
+                                      ops=list(tr.ops_rev) or None) \
                     if (circ and as0_u < 0) else None
                 as0 = segs[0].as0 if segs else as0_u
                 aln = Aln(rid=rid, rev=st.rev, as0=as0, ae=ae,

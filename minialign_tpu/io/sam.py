@@ -442,25 +442,25 @@ class MafWriter:
         for i in range(n):
             a = reg.alns[i].aln
             w = self.out.write
-            w(f"a score={a.score}\n")
-            rname, qname = ref_names[a.rid], seq.name
-            pad = max(len(rname), len(qname)) + 1
-            rs_s, qs_s = _pad_pair(a.as0, a.bs0)
-            al_s, bl_s = _pad_pair(a.ae - a.as0, a.be - a.bs0)
-            rl_s, ql_s = _pad_pair(int(ref_lens[a.rid]), qlen)
-            qdir = seq.codes if not a.rev else \
-                (3 - np.asarray(seq.codes)[::-1]).astype(np.int8)
-            rlen_i = int(ref_lens[a.rid])
-            nr = a.path.count("R")
-            rsl = np.take(np.asarray(ref_codes[a.rid]),
-                          (a.as0 + np.arange(nr)) % rlen_i)
-            up = getattr(a, "upath", "")
-            rrow, qrow = gapped_pair(parse_path_rv(up, 0, len(up))
-                                     if up else cigar_ops(a.path),
-                                     rsl, qdir[a.bs0:a.be])
-            w(f"s {rname.ljust(pad)}{rs_s} {al_s} + {rl_s} {rrow}\n")
-            w(f"s {qname.ljust(pad)}{qs_s} {bl_s} "
-              f"{'-' if a.rev else '+'} {ql_s} {qrow}\n\n")
+            # one block per path segment, head first (the reference
+            # iterates seg[slen-1]..seg[0], minialign.c:5505-5507,
+            # with the whole alignment's score on each block)
+            for s in a.segs:
+                w(f"a score={a.score}\n")
+                rname, qname = ref_names[a.rid], seq.name
+                pad = max(len(rname), len(qname)) + 1
+                rs_s, qs_s = _pad_pair(s.as0, s.bs0)
+                al_s, bl_s = _pad_pair(s.ae - s.as0, s.be - s.bs0)
+                rl_s, ql_s = _pad_pair(int(ref_lens[a.rid]), qlen)
+                qdir = seq.codes if not a.rev else \
+                    (3 - np.asarray(seq.codes)[::-1]).astype(np.int8)
+                rsl = np.asarray(ref_codes[a.rid][s.as0:s.ae])
+                rrow, qrow = gapped_pair(seg_tokens(a, s), rsl,
+                                         qdir[s.bs0:s.be])
+                w(f"s {rname.ljust(pad)}{rs_s} {al_s} + {rl_s} "
+                  f"{rrow}\n")
+                w(f"s {qname.ljust(pad)}{qs_s} {bl_s} "
+                  f"{'-' if a.rev else '+'} {ql_s} {qrow}\n\n")
 
 
 class Blast6Writer:

@@ -33,7 +33,8 @@ class _TraceParams(ctypes.Structure):
 
 
 class _TraceOut(ctypes.Structure):
-    _fields_ = [("plen", ctypes.c_int64), ("dcnt", ctypes.c_int64),
+    _fields_ = [("plen", ctypes.c_int64), ("n_ops", ctypes.c_int64),
+                ("dcnt", ctypes.c_int64),
                 ("agcnt", ctypes.c_int64), ("bgcnt", ctypes.c_int64),
                 ("gap_penalty", ctypes.c_int64),
                 ("e_pen", ctypes.c_int64), ("status", ctypes.c_int32)]
@@ -67,7 +68,8 @@ def _load():
         u32p, u32p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(_TraceParams),
-        ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(_TraceOut)]
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(_TraceOut)]
     lib.cigar_rle.restype = ctypes.c_int64
     lib.cigar_rle.argtypes = [ctypes.c_char_p, ctypes.c_int64, u32p]
     lib.parse_rv.restype = ctypes.c_int64
@@ -91,8 +93,8 @@ def available() -> bool:
 def trace_one(p, W: int, masks: np.ndarray, dirs: np.ndarray,
               ihead0: int, score: int, ai: int, bj: int):
     """Native traceback walk. Returns (path, path_rev, dcnt, agcnt,
-    bgcnt, gap_penalty, e_pen) or None (out-of-band) — the same
-    contract as dp/traceback.traceback_one's core walk."""
+    bgcnt, gap_penalty, e_pen, ops_rev) or None (out-of-band) — the
+    same contract as dp/traceback.traceback_one's core walk."""
     lib = _load()
     masks = np.ascontiguousarray(masks, np.uint32)
     dirs = np.ascontiguousarray(dirs, np.uint32)
@@ -103,14 +105,16 @@ def trace_one(p, W: int, masks: np.ndarray, dirs: np.ndarray,
     cap = 2 * (int(ai) + int(bj)) + 2
     fwd = ctypes.create_string_buffer(cap)
     rev = ctypes.create_string_buffer(cap)
+    opsb = ctypes.create_string_buffer(cap)
     lib.trace_one(masks, dirs, np.int32(dirs.shape[0]),
                   np.int32(ihead0), score, ai, bj,
-                  ctypes.byref(tp), fwd, rev, ctypes.byref(out))
+                  ctypes.byref(tp), fwd, rev, opsb, ctypes.byref(out))
     if out.status != 0:
         return None
     n = out.plen
     return (fwd.raw[:n].decode("latin1"), rev.raw[:n].decode("latin1"),
-            out.dcnt, out.agcnt, out.bgcnt, out.gap_penalty, out.e_pen)
+            out.dcnt, out.agcnt, out.bgcnt, out.gap_penalty, out.e_pen,
+            opsb.raw[:out.n_ops].decode("latin1"))
 
 
 def cigar_rle(path: str) -> np.ndarray | None:

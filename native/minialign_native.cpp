@@ -36,6 +36,7 @@ struct TraceParams {
 
 struct TraceOut {
   int64_t plen;
+  int64_t n_ops;
   int64_t dcnt, agcnt, bgcnt;
   int64_t gap_penalty;   // n_open*gi + n_ext*ge + gf_pen
   int64_t e_pen;         // ref-side gap penalty (identity estimate)
@@ -50,7 +51,8 @@ int trace_one(const uint32_t* masks, const uint32_t* dirs,
               int32_t nb, int32_t ihead0,
               int64_t score, int64_t ai, int64_t bj,
               const TraceParams* tp,
-              char* path_fwd, char* path_rev, TraceOut* out) {
+              char* path_fwd, char* path_rev, char* ops_out,
+              TraceOut* out) {
   const int BLK = 32;
   std::memset(out, 0, sizeof(*out));
   if (score <= 0 || (ai == 0 && bj == 0)) {
@@ -200,6 +202,11 @@ int trace_one(const uint32_t* masks, const uint32_t* dirs,
       if (c == 'X') { path_rev[w++] = 'D'; path_rev[w++] = 'R'; }
       else          { path_rev[w++] = c; }
     }
+  }
+  {
+    int64_t w = 0;                 // pop-order tokens ('X' = pair)
+    for (char c : ops) ops_out[w++] = c;
+    out->n_ops = w;
   }
   out->plen = plen;
   out->dcnt = dcnt; out->agcnt = agcnt; out->bgcnt = bgcnt;

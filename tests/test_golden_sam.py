@@ -348,3 +348,25 @@ def test_xdrop_rolling_peak_byte_identical():
     want = open(f"{DATA}/ref_xdrop.sam").read()
     got_l, want_l = _strip_pg(got), _strip_pg(want)
     assert _strip_md(got_l) == _strip_md(want_l)
+
+
+@pytest.mark.slow
+def test_circular_maf_byte_identical():
+    """Origin-wrapping alignments in MAF: one block per path segment
+    (minialign.c:5505-5507) with walker-token segment splits (v pops
+    don't test the a-side boundary). Found by the fuzzer (seed 20)."""
+    got = _run_cli(["-t1", "-a3", "-b4", "-p0", "-q2", "-m0.5",
+                    "-cc0", "-Omaf", f"{DATA}/cmref.fa",
+                    f"{DATA}/cmreads.fq"])
+    want = open(f"{DATA}/ref_circmaf.maf").read()
+    assert got == want
+
+
+@pytest.mark.slow
+def test_circular_split_sam_byte_identical():
+    """Same inputs through the SAM path (segment splits shared with
+    the MAF printer)."""
+    got = _run_cli(["-t1", "-a3", "-b4", "-p0", "-q2", "-m0.5",
+                    "-cc0", f"{DATA}/cmref.fa", f"{DATA}/cmreads.fq"])
+    want = open(f"{DATA}/ref_circsplit.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
