@@ -28,6 +28,12 @@ from .index.sketch import sketch
 
 OFS = 0x40000000
 I32 = np.int32
+
+
+def _unofs(stored: int) -> int:
+    """int32 interpretation of _ofs-inverse: 0x40000000 - stored."""
+    v = (0x40000000 - stored) & 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
 INT32_MAX = np.int32(0x7FFFFFFF)
 
 
@@ -108,12 +114,20 @@ def _expand(mi: MMIndex, start: int, n: int, qs: int, up, vp, rd):
 
 def seed_round(mi: MMIndex, st: SeedState, rnd: int) -> np.ndarray | None:
     """mm_seed (minialign.c:3500-3541): round-`rnd` seed set, sorted by
-    (rid, upos). Returns the sort order applied arrays stacked as a
-    (n, 3) int32 [upos, rid, vpos] or None if no seeds this round."""
+    (rid, upos) with ksort's exact radix permutation on ties (the seed
+    array stays in its sorted order across rounds and re-sorts with the
+    appended rescue seeds plus the tail sentinel, whose presence
+    participates in the permutation). Returns the sorted arrays stacked
+    as (n, 3) int64 [upos, rid, vpos] or None if no seeds this round."""
+    from .ksort import ks_radix128
     if rnd > 0:
         if rnd == 1 and len(st.resc):
-            order = np.lexsort((st.resc[:, 0], st.resc[:, 1]))
-            st.resc = st.resc[order]
+            # radix_sort_128x on mm_resc_t: key u64 = (n << 32) | qs
+            # (minialign.c:3513, struct at :3176)
+            rk = (st.resc[:, 1].astype(np.uint64) << np.uint64(32)) \
+                | (st.resc[:, 0].astype(np.int64)
+                   .astype(np.uint32).astype(np.uint64))
+            st.resc = st.resc[ks_radix128(rk)]
         up, vp, rd = list(st.upos), list(st.vpos), list(st.rid)
         occ_r = int(mi.occ[rnd])
         p = st.presc
@@ -131,9 +145,21 @@ def seed_round(mi: MMIndex, st: SeedState, rnd: int) -> np.ndarray | None:
     n = len(st.upos)
     if n == 0:
         return None
-    order = np.lexsort((np.arange(n), st.upos, st.rid))
-    return np.stack([st.upos[order], st.rid[order], st.vpos[order]],
-                    axis=1).astype(np.int64)
+    # radix_sort_128x on mm_seed_t: key u64 = (rid << 32) | upos
+    # (minialign.c:3535); the tail sentinel (rid INT32_MAX,
+    # upos INT32_MIN, :3532) takes part in the permutation
+    key = (st.rid.astype(np.int64).astype(np.uint32)
+           .astype(np.uint64) << np.uint64(32)) \
+        | st.upos.astype(np.int64).astype(np.uint32).astype(np.uint64)
+    keys = np.concatenate(
+        [key, np.asarray([0x7FFFFFFF80000000], np.uint64)])
+    order = ks_radix128(keys)
+    order = order[order < n]
+    # the reference keeps the array sorted for the next round's append
+    st.upos = st.upos[order]
+    st.vpos = st.vpos[order]
+    st.rid = st.rid[order]
+    return np.stack([st.upos, st.rid, st.vpos], axis=1).astype(np.int64)
 
 
 @dataclasses.dataclass
@@ -159,10 +185,13 @@ def chain_seeds(seeds: np.ndarray, twlen: int,
             else np.asarray(circular, np.uint8)
         rows = native.chain_seeds(seeds, twlen, zl, zc)
         if rows is not None:
-            out = [Chain(plen=int(r[0]), root_sid=int(r[1]),
-                         leaf_sid=int(r[2])) for r in rows if r[0] >= 0]
-            out.sort(key=lambda c: -c.plen)
-            return out
+            from .ksort import ks_radix64
+            keys = np.asarray(
+                [(0x40000000 - int(r[0])) & 0xFFFFFFFF for r in rows],
+                np.uint32)
+            order = ks_radix64(keys) if len(rows) else []
+            return [Chain(plen=int(rows[i][0]), root_sid=int(rows[i][1]),
+                          leaf_sid=int(rows[i][2])) for i in order]
 
     n = len(seeds)
     up, rid, vp = seeds[:, 0], seeds[:, 1], seeds[:, 2]
@@ -256,10 +285,17 @@ def chain_seeds(seeds: np.ndarray, twlen: int,
     if circular is not None and len(chains) and np.any(circular):
         _circularize(seeds, leaves, chains, twlen, lens, circular)
 
-    out = [Chain(plen=c[0], root_sid=leaves[c[1]][0],
-                 leaf_sid=leaves[c[1]][1]) for c in chains if c[0] >= 0]
-    out.sort(key=lambda c: -c.plen)
-    return out
+    # radix_sort_64x on mm_root_t: key u32 = the stored offsetted plen
+    # (minialign.c:3718) — ascending offsetted = descending real, with
+    # ksort's tie permutation. Consumed (circularized-away) chains keep
+    # their 0x80000000-marked keys, sort last, and terminate the
+    # evaluation loop via the plen threshold, as in the reference.
+    from .ksort import ks_radix64
+    keys = np.asarray([(0x40000000 - c[0]) & 0xFFFFFFFF for c in chains],
+                      np.uint32)
+    order = ks_radix64(keys) if len(chains) else []
+    return [Chain(plen=chains[i][0], root_sid=leaves[chains[i][1]][0],
+                  leaf_sid=leaves[chains[i][1]][1]) for i in order]
 
 
 def _circularize(seeds, leaves, chains, twlen, lens, circular):
@@ -312,11 +348,20 @@ def _circularize(seeds, leaves, chains, twlen, lens, circular):
         pdiff, llid = -best[0], best[1]
         lcid = leaves[llid][3]
 
-        # fixup leaf-side chain, then root-side chain + leaf bins
-        # (reference order: mark first, then adjust — a self-merge
-        # stays marked/consumed, minialign.c:3688-3693)
+        # fixup leaf-side chain, then root-side chain + leaf bins.
+        # The consumed mark is the stored (offsetted) plen with the top
+        # bit set (minialign.c:3688); carry the exact int32 value the
+        # reference would hold so the final radix sort permutation and
+        # the evaluation-loop break see identical keys. A self-merge
+        # additionally runs the root-side subtraction on the marked
+        # value (reference statement order, :3688-3692).
         chains[lcid][1] = rlid
-        chains[lcid][0] = -1                    # consumed mark
+        stored_l = (0x40000000 - chains[lcid][0]) & 0xFFFFFFFF
+        marked = stored_l | 0x80000000
         if lcid != rcid:
+            chains[lcid][0] = _unofs(marked)
             chains[rcid][0] += pdiff
+        else:
+            stored2 = (marked + stored_l - 0x40000000) & 0xFFFFFFFF
+            chains[lcid][0] = _unofs(stored2)
         leaves[rlid][0] = leaves[llid][0]       # propagate root seed

@@ -554,7 +554,8 @@ class _SearchState:
     next_arr: list = dataclasses.field(default_factory=list)
 
 
-def _load_next(st: _SearchState, seeds, tglen: int, rid: int, qlen: int):
+def _load_next(st: _SearchState, seeds, tglen: int, rid: int, qlen: int,
+               rlen: int = 1 << 62, kk: int = 0):
     """mm_search_load_next (minialign.c:3888-3948): pick a rescue seed
     within the tglen window behind the current head."""
     if st.srem == 0:
@@ -597,13 +598,28 @@ def _load_next(st: _SearchState, seeds, tglen: int, rid: int, qlen: int):
         st.pacc = 0
         st.srem = 0
         return False
-    st.next_arr.sort()
+    # radix_sort_64x keyed on pdiff ONLY (minialign.c:3931): equal
+    # pdiffs keep ksort's permutation, and the reference pops the
+    # LAST element after the sort
+    from .ksort import ks_radix64
+    keys = np.asarray([pd & 0xFFFFFFFF for pd, _ in st.next_arr],
+                      np.uint32)
+    order = ks_radix64(keys)
+    st.next_arr = [st.next_arr[i] for i in order]
     pdiff, nsid = st.next_arr.pop()
     st.pacc = ofs2 - pdiff
 
     x, y = coords_to_xy(seeds[nsid, 0], seeds[nsid, 2])
     st.rev = 1 if y < 0 else 0
-    st.cp = (x, y + (qlen if y < 0 else 0))
+    apos = x
+    bpos = y + (qlen if y < 0 else 0)
+    # mm_search_load_pos over-end adjustment also runs on rescue
+    # loads (minialign.c:3937); rlen is current here (mm_init_ref ran
+    # at the root load)
+    if apos >= rlen or bpos >= qlen:
+        apos -= min(apos, kk)
+        bpos -= min(bpos, kk)
+    st.cp = (apos, bpos)
     return st.srem > 0
 
 
@@ -694,7 +710,8 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int,
             first = True
             while st.srem > 0 and st.prem > 0:
                 if not first:
-                    if not _load_next(st, seeds, tglen, rid, qlen):
+                    if not _load_next(st, seeds, tglen, rid, qlen,
+                                      rlen=rlen, kk=mi.k):
                         break
                 first = False
                 W = WIDTHS[st.narrow]

@@ -159,12 +159,51 @@ def build_index(params: IndexParams, names: Sequence[str],
     pos = np.concatenate(ps) if ps else np.empty(0, np.uint32)
     rid = np.concatenate(rs) if rs else np.empty(0, np.uint32)
 
-    order = np.lexsort((rid, pos, h))
-    h, pos, rid = h[order], pos[order], rid[order]
+    # per-bucket ksort ordering (mm_idx_drain pushes each minimizer
+    # into bucket h & mask in sequence order, then radix_sort_128x
+    # keys each bucket on hrem = h >> b alone, minialign.c:2837+2882):
+    # the multi-hit list order of every hash is ksort's equal-key
+    # permutation of the push order, which seed collection (and thus
+    # chaining and output order) observe. Buckets of <= 64 entries
+    # reduce to a stable insertion sort on hrem.
+    from ..ksort import ks_radix128
+    b = int(getattr(params, "b", 14))
+    mask = np.uint64((1 << b) - 1)
+    bucket = (h & mask).astype(np.int64)
+    border = np.argsort(bucket, kind="stable")
+    h, pos, rid = h[border], pos[border], rid[border]
+    bsorted = bucket[border]
+    starts = np.flatnonzero(np.diff(bsorted)) + 1
+    starts = np.concatenate([[0], starts, [len(h)]])
+    final = np.empty(len(h), np.int64)
+    for bi in range(len(starts) - 1):
+        s0, s1 = int(starts[bi]), int(starts[bi + 1])
+        hrem = (h[s0:s1] >> np.uint64(b))
+        final[s0:s1] = s0 + ks_radix128(hrem)
+    h, pos, rid = h[final], pos[final], rid[final]
 
-    keys, counts = np.unique(h, return_counts=True)
-    offsets = np.zeros(len(keys) + 1, np.int64)
-    np.cumsum(counts, out=offsets[1:])
+    # equal-h runs are contiguous within a bucket; re-lay the runs out
+    # in key-ascending order (each run keeps its internal ksort order)
+    # so the CSR binary-search lookup applies unchanged
+    if len(h):
+        runs = np.flatnonzero(np.diff(h.view(np.int64))) + 1
+        run_start = np.concatenate([[0], runs]).astype(np.int64)
+        run_len = np.diff(np.concatenate(
+            [run_start, [len(h)]])).astype(np.int64)
+        run_h = h[run_start]
+        korder = np.argsort(run_h, kind="stable")
+        gather = np.concatenate(
+            [np.arange(run_start[i], run_start[i] + run_len[i])
+             for i in korder])
+        h, pos, rid = h[gather], pos[gather], rid[gather]
+        keys = run_h[korder]
+        counts = run_len[korder]
+        offsets = np.zeros(len(keys) + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+    else:
+        keys = np.empty(0, np.uint64)
+        counts = np.empty(0, np.int64)
+        offsets = np.zeros(1, np.int64)
 
     # occurrence thresholds (minialign.c:2984-2988)
     occ = np.empty(len(params.frq), np.uint32)

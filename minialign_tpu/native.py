@@ -59,6 +59,7 @@ def _load():
         return None
 
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -72,6 +73,10 @@ def _load():
         ctypes.POINTER(_TraceOut)]
     lib.cigar_rle.restype = ctypes.c_int64
     lib.cigar_rle.argtypes = [ctypes.c_char_p, ctypes.c_int64, u32p]
+    lib.ks_radix128.restype = None
+    lib.ks_radix128.argtypes = [u64p, ctypes.c_int64, u64p]
+    lib.ks_radix64.restype = None
+    lib.ks_radix64.argtypes = [u32p, ctypes.c_int64, u32p]
     lib.parse_rv.restype = ctypes.c_int64
     lib.parse_rv.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                              ctypes.c_int64, u32p, ctypes.c_int64]
@@ -128,6 +133,30 @@ def cigar_rle(path: str) -> np.ndarray | None:
     return out[:n]
 
 
+def ks_radix128(keys: np.ndarray) -> np.ndarray | None:
+    """The reference's radix_sort_128x permutation (ksort.h via
+    minialign.c:203): returns order indices such that keys[order] is
+    sorted with ksort's exact (unstable) equal-key permutation."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.uint64)
+    out = np.empty(len(keys), np.uint64)
+    lib.ks_radix128(keys, len(keys), out)
+    return out.astype(np.int64)
+
+
+def ks_radix64(keys: np.ndarray) -> np.ndarray | None:
+    """radix_sort_64x permutation (u32 keys)."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.uint32)
+    out = np.empty(len(keys), np.uint32)
+    lib.ks_radix64(keys, len(keys), out)
+    return out.astype(np.int64)
+
+
 def parse_rv(upath: str, off: int, plen: int) -> list | None:
     """Display-order cigar tokens [(count, op)] via the gaba reverse
     parse (see io/sam.py parse_path_rv and the C implementation)."""
@@ -178,9 +207,9 @@ def _bind_sketch(lib):
     if hasattr(lib, "_sketch_bound"):
         return
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
-    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     lib.sketch_seq.restype = ctypes.c_int64
     lib.sketch_seq.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32,
                                ctypes.c_int32, u64p, i64p, u8p]

@@ -39,9 +39,13 @@ def _postprocess(mp: MapParams, out) -> Reg | None:
     res, slots, _ = out
     if not res:
         return None
-    # sort by accumulated score desc, stable (radix_sort_64x on the
-    # offsetted score, minialign.c:4452)
-    res = sorted(res, key=lambda r: -r[0])
+    # radix_sort_64x on the offsetted accumulated score
+    # (minialign.c:4452): ascending offsetted = descending real, with
+    # ksort's exact permutation for equal scores
+    from .ksort import ks_radix64
+    keys = np.asarray([(0x40000000 - r[0]) & 0xFFFFFFFF for r in res],
+                      np.uint32)
+    res = [res[i] for i in ks_radix64(keys)]
     res = prune_regs(res, mp.min_ratio)
     n_uniq_bins = post_map(mp, res, slots)
 

@@ -674,6 +674,18 @@ int64_t chain_seeds_c(const int64_t* seeds, int64_t n, int64_t twlen,
       int64_t lcid = leaves[(size_t)best_lid].cid;
       chains[(size_t)lcid].lid = rlid;
       chains[(size_t)lcid].consumed = true;
+      // carry the exact int32 value the reference holds after the
+      // 0x80000000 mark (and the self-merge subtraction) so the
+      // downstream radix key and plen-threshold break are identical
+      {
+        uint32_t stored_l =
+            (uint32_t)(0x40000000u - (uint32_t)chains[(size_t)lcid].plen);
+        uint32_t marked = stored_l | 0x80000000u;
+        uint32_t st2 = ((size_t)lcid != rcid)
+            ? marked
+            : (uint32_t)(marked + stored_l - 0x40000000u);
+        chains[(size_t)lcid].plen = (int64_t)(int32_t)(0x40000000u - st2);
+      }
       if ((size_t)lcid != rcid) chains[rcid].plen += best_plen;
       leaves[(size_t)rlid].rsid = leaves[(size_t)best_lid].rsid;
     }
@@ -683,7 +695,8 @@ int64_t chain_seeds_c(const int64_t* seeds, int64_t n, int64_t twlen,
   if (cnt > max_chains) return -1;
   for (int64_t c = 0; c < cnt; c++) {
     const Chain& ch = chains[(size_t)c];
-    out_chains[c * 3 + 0] = ch.consumed ? -1 : ch.plen;
+    out_chains[c * 3 + 0] = ch.plen;   // consumed rows carry their
+                                       // marked (hugely negative) plen
     out_chains[c * 3 + 1] = leaves[(size_t)ch.lid].rsid;
     out_chains[c * 3 + 2] = leaves[(size_t)ch.lid].lsid;
   }
@@ -691,3 +704,99 @@ int64_t chain_seeds_c(const int64_t* seeds, int64_t n, int64_t twlen,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// ksort-compatible radix sorts. The reference orders EVERYTHING with
+// ksort.h's in-place MSD (American-flag) radix sort keyed on a PREFIX
+// of each record (sort_key_128x = u64[0] of a 16-byte record,
+// sort_key_64x = u32[0] of an 8-byte record, minialign.c:203-206), so
+// the relative order of equal-key records is the deterministic
+// permutation that algorithm produces — NOT stable order. Several
+// reference behaviors depend on those tie orders (multi-hit minimizer
+// lists, seed order feeding the greedy chainer, equal-score result
+// records), so the exact algorithm is reproduced here: 8-bit digits
+// from the top byte of the key down, buckets over RS_MIN_SIZE=64
+// recurse, smaller buckets finish with a stable insertion sort, and
+// arrays of <=64 records are insertion-sorted outright.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+const int RS_MIN = 64;
+
+template <typename R, typename K>
+static inline K rkey(const R& r) { return r.key; }
+
+struct Rec128 { uint64_t key; uint64_t payload; };
+struct Rec64 { uint32_t key; uint32_t payload; };
+
+template <typename R, typename KT>
+static void rs_insertsort(R* beg, R* end) {
+  for (R* i = beg + 1; i < end; ++i)
+    if (i->key < (i - 1)->key) {
+      R tmp = *i;
+      R* j;
+      for (j = i; j > beg && tmp.key < (j - 1)->key; --j) *j = *(j - 1);
+      *j = tmp;
+    }
+}
+
+template <typename R, typename KT>
+static void rs_sort(R* beg, R* end, int n_bits, int s) {
+  const int size = 1 << n_bits, m = size - 1;
+  struct Bucket { R* b; R* e; } b[256], *be = b + size, *k;
+  for (k = b; k != be; ++k) k->b = k->e = beg;
+  for (R* i = beg; i != end; ++i) ++b[(i->key >> s) & m].e;
+  for (k = b + 1; k != be; ++k)
+    k->e += (k - 1)->e - beg, k->b = (k - 1)->e;
+  for (k = b; k != be;) {
+    if (k->b != k->e) {
+      Bucket* l;
+      if ((l = b + ((k->b->key >> s) & m)) != k) {
+        R tmp = *k->b, swap;
+        do {
+          swap = tmp;
+          tmp = *l->b;
+          *l->b++ = swap;
+          l = b + ((tmp.key >> s) & m);
+        } while (l != k);
+        *k->b++ = tmp;
+      } else ++k->b;
+    } else ++k;
+  }
+  for (b->b = beg, k = b + 1; k != be; ++k) k->b = (k - 1)->e;
+  if (s) {
+    s = s > n_bits ? s - n_bits : 0;
+    for (k = b; k != be; ++k)
+      if (k->e - k->b > RS_MIN) rs_sort<R, KT>(k->b, k->e, n_bits, s);
+      else if (k->e - k->b > 1) rs_insertsort<R, KT>(k->b, k->e);
+  }
+}
+
+template <typename R, typename KT>
+static void ks_radix(R* p, int64_t l, int key_bytes) {
+  if (l <= RS_MIN) rs_insertsort<R, KT>(p, p + l);
+  else rs_sort<R, KT>(p, p + l, 8, key_bytes * 8 - 8);
+}
+
+}  // namespace
+
+extern "C" {
+
+// keys: u64 (the reference record's u64[0]); out_order: the
+// permutation (indices into the input) after the ksort 128x sort
+void ks_radix128(const uint64_t* keys, int64_t n, uint64_t* out_order) {
+  std::vector<Rec128> recs((size_t)n);
+  for (int64_t i = 0; i < n; i++) recs[i] = {keys[i], (uint64_t)i};
+  ks_radix<Rec128, uint64_t>(recs.data(), n, 8);
+  for (int64_t i = 0; i < n; i++) out_order[i] = recs[i].payload;
+}
+
+void ks_radix64(const uint32_t* keys, int64_t n, uint32_t* out_order) {
+  std::vector<Rec64> recs((size_t)n);
+  for (int64_t i = 0; i < n; i++) recs[i] = {keys[i], (uint32_t)i};
+  ks_radix<Rec64, uint32_t>(recs.data(), n, 4);
+  for (int64_t i = 0; i < n; i++) out_order[i] = recs[i].payload;
+}
+
+}  // extern "C" (ksort exports)

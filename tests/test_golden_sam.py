@@ -370,3 +370,18 @@ def test_circular_split_sam_byte_identical():
                     "-cc0", f"{DATA}/cmref.fa", f"{DATA}/cmreads.fq"])
     want = open(f"{DATA}/ref_circsplit.sam").read()
     assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
+def test_ksort_tie_order_byte_identical():
+    """Dense k10/w3 seeds over a repeat: the greedy chain structure
+    depends on ksort's exact (unstable) equal-key radix permutation of
+    the seed sort (minialign.c:203+3535). A stable sort splits one
+    chain in two and leaks an extra secondary record. Found by the
+    fuzzer (seed 32); exercises minialign_tpu/ksort.py end to end."""
+    got = _run_cli(["-t1", "-a3", "-b2", "-p5", "-q2", "-r3,3",
+                    "-s59", "-m0.2", "-k10", "-w3",
+                    f"{DATA}/ksref.fa", f"{DATA}/ksreads.fq"])
+    want = open(f"{DATA}/ref_ksort.sam").read()
+    got_l, want_l = _strip_pg(got), _strip_pg(want)
+    assert _strip_md(got_l) == _strip_md(want_l)

@@ -131,9 +131,16 @@ def main():
         opts = gen_case(rng, d)
         is_sam = not any(o.startswith("-O") for o in opts)
         use_mai = case % 4 == 3        # prebuilt-index round trip
+        if case % 5 == 2:              # all-vs-all over the read set
+            opts = ["-t1", "-X", "-xava", "-Opaf"]
+            is_sam = False
+            use_mai = False
         cmd_ref = [ref_bin] + opts + [f"{d}/ref.fa", f"{d}/reads.fq"]
         cmd_our = [sys.executable, "-m", "minialign_tpu.cli"] + opts + \
             [f"{d}/ref.fa", f"{d}/reads.fq"]
+        if case % 5 == 2:
+            cmd_ref = cmd_ref[:-2] + [f"{d}/reads.fq"]
+            cmd_our = cmd_our[:-2] + [f"{d}/reads.fq"]
         if use_mai:
             subprocess.run([ref_bin] + opts
                            + ["-d", f"{d}/r.mai", f"{d}/ref.fa"],
