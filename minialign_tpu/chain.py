@@ -67,49 +67,60 @@ class SeedState:
 
 
 def collect_seeds(mi: MMIndex, qcodes: np.ndarray) -> SeedState:
-    """Round-0 seed collection (mm_collect_seed, minialign.c:3454-3493)."""
+    """Round-0 seed collection (mm_collect_seed, minialign.c:3454-3493),
+    fully vectorized: minimizer hits are classified (drop / rescue /
+    expand) with boolean masks and the kept runs expanded with one
+    repeat+gather (replacing the per-minimizer Python loop)."""
     h, qpos, fr = sketch(np.asarray(qcodes, np.int64) & 3, mi.k, mi.w)
     start, cnt = mi.lookup(h)
 
-    max_occ = mi.max_occ
-    resc_occ = int(mi.occ[0])
-    k = mi.k
+    fr64 = np.asarray(fr, np.int64)
+    # qs = (qpos + k if rev else qpos) ^ -fr, int32 wrap (mm_collect_seed)
+    qs = ((np.asarray(qpos, np.int64) + mi.k * fr64) ^ (-fr64)) \
+        .astype(I32)
 
-    up, vp, rd = [], [], []
-    resc = []
-    for t in range(len(h)):
-        n = int(cnt[t])
-        if n == 0 or n > max_occ:
-            continue
-        frt = int(fr[t])
-        qs = I32((int(qpos[t]) + (k if frt else 0)) ^ (-frt))
-        if n > resc_occ:
-            resc.append((int(qs), n, int(start[t])))
-            continue
-        _expand(mi, int(start[t]), n, int(qs), up, vp, rd)
+    keep = (cnt > 0) & (cnt <= mi.max_occ)
+    resc_m = keep & (cnt > int(mi.occ[0]))
+    exp_m = keep & ~resc_m
 
-    return SeedState(
-        upos=np.asarray(up, I32), vpos=np.asarray(vp, I32),
-        rid=np.asarray(rd, I32),
-        resc=np.asarray(resc, np.int64).reshape(-1, 3),
-        presc=0)
+    if resc_m.any():
+        resc = np.stack([qs[resc_m].astype(np.int64), cnt[resc_m],
+                         start[resc_m]], axis=1)
+    else:
+        resc = np.zeros((0, 3), np.int64)
+    up, vp, rd = _expand_many(mi, start[exp_m], cnt[exp_m], qs[exp_m])
+    return SeedState(upos=up, vpos=vp, rid=rd, resc=resc, presc=0)
 
 
-def _expand(mi: MMIndex, start: int, n: int, qs: int, up, vp, rd):
-    """mm_expand (minialign.c:3420-3446), ava filtering omitted."""
-    k = mi.k
-    pos = mi.vals_pos[start:start + n]
-    rid = mi.vals_rid[start:start + n]
-    for rs, rf in zip(pos.tolist(), rid.tolist()):
-        if rf & 1:
-            _rs = int(rs) + k
-            _qs = ~qs & 0xFFFFFFFF
-            _qs = _qs - (1 << 32) if _qs >= (1 << 31) else _qs
-        else:
-            _rs, _qs = int(rs), qs
-        up.append(int(_u(_rs, _qs)))
-        vp.append(int(_v(_rs, _qs)))
-        rd.append(rf >> 1)
+def _expand_many(mi: MMIndex, start: np.ndarray, cnt: np.ndarray,
+                 qs: np.ndarray):
+    """Vectorized mm_expand (minialign.c:3420-3446) over many hit runs
+    at once (ava filtering omitted, as in the reference's read-to-ref
+    path). start/cnt are int64 run descriptors into vals_pos/vals_rid;
+    qs the per-run query positions (int32, strand pre-folded). Emission
+    order — runs in input order, hits in index order within a run —
+    matches the sequential loop exactly."""
+    tot = int(cnt.sum())
+    if tot == 0:
+        z = np.empty(0, I32)
+        return z, z.copy(), z.copy()
+    rep = np.repeat(np.arange(len(cnt)), cnt)
+    offs = np.arange(tot, dtype=np.int64) \
+        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    idx = start[rep] + offs
+    pos = mi.vals_pos[idx].astype(np.int64)
+    rf = mi.vals_rid[idx].astype(np.int64)
+    q = qs[rep].astype(np.int64)
+
+    rev = rf & 1
+    x = pos + mi.k * rev                  # reverse hits shift +k
+    y = np.where(rev != 0, ~q, q)         # int32 bit-not via 2's compl.
+    # int64-exact math, single int32 wrap at the end ≡ the reference's
+    # per-op int32 wrap (mod-2^32 homomorphism)
+    up = (2 * x - y + OFS).astype(I32)
+    vp = (2 * y - x + OFS).astype(I32)
+    rd = (rf >> 1).astype(I32)
+    return up, vp, rd
 
 
 def seed_round(mi: MMIndex, st: SeedState, rnd: int) -> np.ndarray | None:
@@ -128,19 +139,19 @@ def seed_round(mi: MMIndex, st: SeedState, rnd: int) -> np.ndarray | None:
                 | (st.resc[:, 0].astype(np.int64)
                    .astype(np.uint32).astype(np.uint64))
             st.resc = st.resc[ks_radix128(rk)]
-        up, vp, rd = list(st.upos), list(st.vpos), list(st.rid)
         occ_r = int(mi.occ[rnd])
         p = st.presc
-        while p < len(st.resc) and st.resc[p, 1] <= occ_r:
-            _expand(mi, int(st.resc[p, 2]), int(st.resc[p, 1]),
-                    int(st.resc[p, 0]), up, vp, rd)
-            p += 1
-        if p == st.presc and rnd > 1:
-            pass
-        st.presc = p
-        st.upos = np.asarray(up, I32)
-        st.vpos = np.asarray(vp, I32)
-        st.rid = np.asarray(rd, I32)
+        # resc is sorted ascending by n after the rnd==1 sort, so the
+        # expandable prefix is a binary search away
+        pe = p + int(np.searchsorted(st.resc[p:, 1], occ_r, "right"))
+        if pe > p:
+            up, vp, rd = _expand_many(
+                mi, st.resc[p:pe, 2], st.resc[p:pe, 1],
+                st.resc[p:pe, 0].astype(I32))
+            st.upos = np.concatenate([st.upos, up])
+            st.vpos = np.concatenate([st.vpos, vp])
+            st.rid = np.concatenate([st.rid, rd])
+        st.presc = pe
 
     n = len(st.upos)
     if n == 0:
