@@ -590,6 +590,99 @@ _HELP_EXTRA = """
 """
 
 
+def _iter_batches(o: Opts, log, queries: list):
+    """Yield read batches across all query files, logging per-file
+    completion (the source stage of the reference's pt_stream,
+    minialign.c:4565-4583)."""
+    for path in queries:
+        for batch in bseq.read_batches(path, batch_size=o.batch_size,
+                                       keep_qual=o.keep_qual,
+                                       min_len=o.min_len,
+                                       tags=tuple(o.tag_names)):
+            yield batch
+        log(9, "main_align", f"finished mapping `{path}'.")
+
+
+def _map_block(o: Opts, log, wr, engine, mp, mi, queries: list,
+               n_reads: int) -> int:
+    """Map all query batches against one index block.
+
+    With -t1 this is the plain sequential loop. With -t >= 2 it
+    reproduces pt_stream's source->worker->drain overlap
+    (minialign.c:1013-1048) with host threads: a source thread parses
+    batch N+1 and a drain thread prints batch N-1 while the main
+    thread drives batch N's device fills. The worker stage stays
+    single-stream because the reference's -t1 schedule chains tbuf
+    state across batches (PARITY.md item 8) — so output bytes are
+    identical at any -t, matching the repo-wide -t1-schedule parity
+    contract."""
+    tb = {"rlen": 0}
+
+    if o.nth <= 1:
+        for batch in _iter_batches(o, log, queries):
+            regs = align_batch(mp, mi, [s.codes for s in batch],
+                               engine, base_qid=n_reads, tbuf=tb)
+            for s, reg in zip(batch, regs):
+                wr.mapped(mi.names, mi.lens, mi.codes, s, reg)
+            n_reads += len(batch)
+        return n_reads
+
+    import queue as _queue
+    import threading
+
+    src_q = _queue.Queue(maxsize=2)
+    out_q = _queue.Queue(maxsize=2)
+    errs = []
+
+    def source():
+        try:
+            for batch in _iter_batches(o, log, queries):
+                src_q.put(batch)
+        except BaseException as e:          # noqa: BLE001
+            errs.append(e)
+        finally:
+            src_q.put(None)
+
+    def drain():
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                batch, regs = item
+                for s, reg in zip(batch, regs):
+                    wr.mapped(mi.names, mi.lens, mi.codes, s, reg)
+        except BaseException as e:          # noqa: BLE001
+            errs.append(e)
+            # keep consuming so the worker never blocks on a dead drain
+            while out_q.get() is not None:
+                pass
+
+    ts = threading.Thread(target=source, daemon=True)
+    td = threading.Thread(target=drain, daemon=True)
+    ts.start()
+    td.start()
+    try:
+        while True:
+            batch = src_q.get()
+            if batch is None or errs:
+                break
+            regs = align_batch(mp, mi, [s.codes for s in batch],
+                               engine, base_qid=n_reads, tbuf=tb)
+            out_q.put((batch, regs))
+            n_reads += len(batch)
+    finally:
+        out_q.put(None)
+        td.join()
+        # unblock a source still waiting on a full queue
+        while batch is not None:
+            batch = src_q.get()
+        ts.join()
+    if errs:
+        raise errs[0]
+    return n_reads
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     o = Opts(arg_line="minialign-tpu " + " ".join(argv))
@@ -666,21 +759,8 @@ def main(argv=None) -> int:
         # header per index block (mm_print_header inside the block
         # loop, minialign.c:6425)
         wr.header(mi.names, mi.lens)
-        # fresh thread-buffer per block (mm_align_init per block,
-        # minialign.c:6419); carries the stale-rlen root-bounds state
-        # across query files and batches (see pipeline.align_batch)
-        tb = {"rlen": 0}
-        for path in queries:
-            for batch in bseq.read_batches(path, batch_size=o.batch_size,
-                                           keep_qual=o.keep_qual,
-                                           min_len=o.min_len,
-                                           tags=tuple(o.tag_names)):
-                regs = align_batch(mp, mi, [s.codes for s in batch],
-                                   engine, base_qid=n_reads, tbuf=tb)
-                for s, reg in zip(batch, regs):
-                    wr.mapped(mi.names, mi.lens, mi.codes, s, reg)
-                n_reads += len(batch)
-            log(9, "main_align", f"finished mapping `{path}'.")
+        n_reads = _map_block(o, log, wr, engine, mp, mi, queries,
+                             n_reads)
     log(1, "main_align", f"mapped {n_reads} reads.")
     log(1, "main", "Command: " + o.arg_line, ts=False)
     log(1, "main", f"Real time: {time.time() - t0:.3f} sec; "

@@ -36,6 +36,15 @@ def test_default_sam_byte_identical():
 
 
 @pytest.mark.slow
+def test_threaded_pipeline_byte_identical():
+    """-t4 engages the source->worker->drain host pipeline (cli._map_block)
+    and must produce the exact -t1-schedule bytes (PARITY.md item 8)."""
+    got = _run_cli(["-t4", "-b6", f"{DATA}/tref.fa", f"{DATA}/treads.fq"])
+    want = open(f"{DATA}/ref_out.sam").read()
+    assert _strip_pg(got) == _strip_pg(want)
+
+
+@pytest.mark.slow
 def test_pacbio_preset_sam_byte_identical():
     got = _run_cli(["-t1", "-xpacbio", f"{DATA}/tref.fa",
                     f"{DATA}/treads.fq"])
