@@ -1,0 +1,150 @@
+"""End-to-end throughput benchmark: the whole CLI mapping pipeline
+(parse -> sketch -> seed -> chain -> device fill -> traceback -> SAM)
+on a PBSIM-profile workload, reported as Mbases/s and reads/s.
+
+Workload (cached in /tmp/minialign_e2e_cache): a 5 Mb synthetic genome
+and 500 x ~20 kb reads at ~88% identity (the reference benchmark's
+PBSIM profile, /root/reference/README.md:48-53), mapped with -xpacbio
+through cli.main exactly as a user would run it.
+
+Baseline: the reference maps 9.2 Gb of hg38 reads in 648 s on 4
+Skylake threads = 14.2 Mbases/s (README.md:51).
+
+Usage:
+    python bench_e2e.py            # prints one JSON line
+    python bench_e2e.py --profile  # adds a per-stage breakdown (stderr)
+    BENCH_E2E_READS=100 ...        # smaller workload
+"""
+
+import cProfile
+import io
+import json
+import os
+import pstats
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_MBPS = 14.2
+CACHE = "/tmp/minialign_e2e_cache"
+GENOME_MB = float(os.environ.get("BENCH_E2E_GENOME_MB", "5"))
+N_READS = int(os.environ.get("BENCH_E2E_READS", "500"))
+READ_LEN = int(os.environ.get("BENCH_E2E_READLEN", "20000"))
+
+
+def make_workload():
+    os.makedirs(CACHE, exist_ok=True)
+    tag = f"g{GENOME_MB}_r{N_READS}_l{READ_LEN}"
+    ref_fa = f"{CACHE}/ref_{tag}.fa"
+    reads_fq = f"{CACHE}/reads_{tag}.fq"
+    if os.path.exists(ref_fa) and os.path.exists(reads_fq):
+        return ref_fa, reads_fq
+    rng = np.random.default_rng(42)
+    glen = int(GENOME_MB * 1e6)
+    g = rng.integers(0, 4, glen, dtype=np.int8)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    with open(ref_fa, "w") as f:
+        f.write(">chr1\n")
+        s = bases[g].tobytes().decode()
+        for i in range(0, glen, 80):
+            f.write(s[i:i + 80] + "\n")
+
+    qual = "I" * (READ_LEN * 2)
+    with open(reads_fq, "w") as f:
+        for i in range(N_READS):
+            ln = int(rng.normal(READ_LEN, READ_LEN * 0.1))
+            ln = max(1000, min(ln, glen - 1))
+            st = int(rng.integers(0, glen - ln))
+            seq = g[st:st + ln]
+            # ~12% error: 40% sub / 30% del / 30% ins (PBSIM-like)
+            r = rng.random(ln)
+            out = []
+            for j in range(ln):
+                if r[j] < 0.048:
+                    out.append(int(rng.integers(0, 4)))
+                elif r[j] < 0.084:
+                    pass
+                elif r[j] < 0.12:
+                    out.append(int(seq[j]))
+                    out.append(int(rng.integers(0, 4)))
+                else:
+                    out.append(int(seq[j]))
+            arr = np.asarray(out, np.int8)
+            if rng.random() < 0.5:
+                arr = (3 - arr)[::-1]
+            s = bases[arr].tobytes().decode()
+            f.write(f"@read{i}\n{s}\n+\n{qual[:len(s)]}\n")
+    return ref_fa, reads_fq
+
+
+class _Sink(io.TextIOBase):
+    """Counts SAM bytes without keeping them."""
+
+    def __init__(self):
+        self.n = 0
+        self.records = 0
+
+    def write(self, s):
+        self.n += len(s)
+        self.records += s.count("\n")
+        return len(s)
+
+
+def run_cli(ref_fa, reads_fq, threads=4):
+    from minialign_tpu import cli
+    sink = _Sink()
+    old = sys.stdout
+    sys.stdout = sink
+    try:
+        rc = cli.main([f"-t{threads}", "-xpacbio", ref_fa, reads_fq])
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    return sink
+
+
+def main():
+    profile = "--profile" in sys.argv
+    ref_fa, reads_fq = make_workload()
+    total_bases = sum(
+        len(l.rstrip()) for i, l in enumerate(open(reads_fq))
+        if i % 4 == 1)
+
+    # warm run (compiles kernels for this shape set)
+    t0 = time.time()
+    run_cli(ref_fa, reads_fq)
+    warm = time.time() - t0
+
+    prof = cProfile.Profile() if profile else None
+    t0 = time.time()
+    if prof:
+        prof.enable()
+    sink = run_cli(ref_fa, reads_fq)
+    if prof:
+        prof.disable()
+    wall = time.time() - t0
+
+    mbps = total_bases / wall / 1e6
+    out = {
+        "metric": "e2e_mbases_per_s",
+        "value": round(mbps, 4),
+        "unit": "Mbases/s end-to-end (CLI, -xpacbio, 20kb reads)",
+        "vs_baseline": round(mbps / REF_MBPS, 4),
+        "reads_per_s": round(N_READS / wall, 2),
+        "wall_s": round(wall, 2),
+        "cold_wall_s": round(warm, 2),
+        "n_reads": N_READS,
+        "total_mbases": round(total_bases / 1e6, 2),
+        "sam_bytes": sink.n,
+    }
+    print(json.dumps(out))
+    if prof:
+        st = pstats.Stats(prof, stream=sys.stderr)
+        st.sort_stats("cumulative").print_stats(40)
+
+
+if __name__ == "__main__":
+    main()
