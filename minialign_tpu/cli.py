@@ -684,6 +684,17 @@ def _map_block(o: Opts, log, wr, engine, mp, mi, queries: list,
 
 
 def main(argv=None) -> int:
+    # persistent kernel-compile cache: fill kernels are expensive to
+    # compile and the shape-bucket set is stable across runs, so cold
+    # CLI invocations should reuse prior compilations (remote-compile
+    # TPU tunnels bypass this; CPU/XLA paths honor it)
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/minialign_tpu_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES",
+                          "-1")
     argv = list(sys.argv[1:] if argv is None else argv)
     o = Opts(arg_line="minialign-tpu " + " ".join(argv))
     parse_argv(o, argv)
@@ -751,11 +762,39 @@ def main(argv=None) -> int:
     else:
         wr = PafWriter(sys.stdout, tags=tuple(o.tags))
 
-    engine = FillEngine(mp.score)
+    # multi-chip auto-path: with more than one accelerator visible the
+    # extension batches run data-parallel over a device mesh and the
+    # minimizer table is hash-range-sharded with cross-shard merge
+    # (SURVEY.md section 2.6; the reference's analogue is -t engaging
+    # pt everywhere, minialign.c:4729). MINIALIGN_SHARD=0 forces the
+    # single-device engine; output bytes are identical either way
+    # (tests/test_shard.py, tests/test_multidev_cli.py).
+    # auto on real multi-accelerator backends; on a virtual CPU mesh
+    # (xla_force_host_platform_device_count) only when explicitly
+    # requested, so single-device remains the CPU default
+    import os
+    shard_env = os.environ.get("MINIALIGN_SHARD", "")
+    mesh = None
+    if shard_env != "0":
+        import jax
+        if len(jax.devices()) > 1 and (
+                shard_env == "1" or jax.default_backend() != "cpu"):
+            from .parallel.shard import make_mesh
+            mesh = make_mesh()
+            log(1, "main_align",
+                f"mapping over a {mesh.devices.size}-device mesh.")
+    if mesh is not None:
+        from .parallel.shard import ShardedFillEngine
+        engine = ShardedFillEngine(mp.score, mesh)
+    else:
+        engine = FillEngine(mp.score)
     n_reads = 0
     for mi in _iter_index_blocks(o, o.args[:rt], ip):
         log(9, "main_align", f"loaded/built index for {mi.n_seq} "
             "target sequence(s).")
+        if mesh is not None:
+            from .parallel.shard import ShardedIndex
+            mi = ShardedIndex(mi, mesh)
         # header per index block (mm_print_header inside the block
         # loop, minialign.c:6425)
         wr.header(mi.names, mi.lens)

@@ -56,8 +56,6 @@ from .band import BLK, NCODE, TAIL_N, FillResult, TraceBuffers, score_floor
 (R_IHEAD, R_RPREV, R_TERM, R_GMAX, R_GI, R_GJ, R_NSTEPS, R_PLIM,
  R_NSEG, R_CDROP) = range(10)
 NROWS = 16
-# kept for old launch-style kernels (tests import _step_t only)
-R_P0 = R_PLIM
 
 
 def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
@@ -67,12 +65,18 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     With bulk=True the i/j boundary handling is omitted entirely — the
     caller guarantees no lane can touch i==0 / j==0 / negative during
     the launch (the reference's fill_bulk_block vs fill_cap split,
-    gaba.c:1821/1925), making bulk bit-identical where selected."""
+    gaba.c:1821/1925), making bulk bit-identical where selected.
+
+    Band characters ride PACKED as one int32 array P = (ach << 3) |
+    bch (codes are 3-bit: 0-3 bases + 4 = N/pad): halves the char
+    register footprint vs two int32 arrays — the fori carry is right
+    at the v5e vector-register-file cliff, where every array matters
+    (round-2 ablations: single-line removals swing ~3x)."""
     floor = score_floor(p)
     gi, ge = p.gi, p.ge
     gfa, gfb = p.gfa_eff, p.gfb_eff
 
-    S, Sp, E, F, ach, bch, ihead, rprev = carry
+    S, Sp, E, F, P, ihead, rprev = carry
 
     # down flag kept as int32 0/1 (Mosaic dislikes i1-valued selects)
     if bulk:
@@ -103,10 +107,14 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     Sdiag = jnp.where(sh == 1, roll_q(Sp, 1, floor),
                       jnp.where(sh == -1, roll_q(Sp, -1, floor), Sp))
 
-    ach_new = jnp.where(d, ach,
-                        jnp.concatenate([anext, ach[:-1]], axis=0))
-    bch_new = jnp.where(d, jnp.concatenate([bch[1:], bnext], axis=0),
-                        bch)
+    # down: b-side chars roll up one lane, bnext enters at the bottom;
+    # right: a-side chars roll down, anext enters at the top
+    P_dn = (P & ~7) | jnp.concatenate([P[1:] & 7, bnext], axis=0)
+    P_rt = jnp.concatenate([(anext << 3), P[:-1] & ~7], axis=0) \
+        | (P & 7)
+    P_new = jnp.where(d, P_dn, P_rt)
+    ach_new = P_new >> 3
+    bch_new = P_new & 7
 
     # substitution score without a table gather (no pshufb on TPU):
     # uniform matrices (every preset) need 3 selects; -e-modified
@@ -187,7 +195,7 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     step_arg = jnp.min(jnp.where(cand == step_max, q, W),
                        axis=0, keepdims=True).astype(jnp.int32)   # (1, B)
 
-    new_carry = (S_new, S, E_new, F_new, ach_new, bch_new,
+    new_carry = (S_new, S, E_new, F_new, P_new,
                  ihead_new, 1 - down_i)
     return new_carry, down_i, masks, step_max, step_arg
 
@@ -249,16 +257,16 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
         # uninitialized); instead the state is copied in explicitly at
         # the start of each grid step.
         aT_ref, bT_ref = refs[0], refs[1]
-        ins = refs[2:9]
+        ins = refs[2:8]
         if trace:
-            (S_ref, Sp_ref, E_ref, F_ref, ach_ref, bch_ref, sc_ref,
+            (S_ref, Sp_ref, E_ref, F_ref, P_ref, sc_ref,
              masks_ref, dirs_ref, iheads_ref, rprevs_ref,
-             scr0, scr1, mstage_ref, sem) = refs[9:]
+             scr0, scr1, mstage_ref, sem) = refs[8:]
         else:
-            (S_ref, Sp_ref, E_ref, F_ref, ach_ref, bch_ref, sc_ref,
-             scr0, scr1) = refs[9:]
+            (S_ref, Sp_ref, E_ref, F_ref, P_ref, sc_ref,
+             scr0, scr1) = refs[8:]
         for src, dst in zip(ins, (S_ref, Sp_ref, E_ref, F_ref,
-                                  ach_ref, bch_ref, sc_ref)):
+                                  P_ref, sc_ref)):
             dst[:] = src[:]
 
         nrow = jnp.full((1, B), NCODE, jnp.int8)
@@ -284,25 +292,31 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                     sc_ref[R_RPREV:R_RPREV + 1]
 
             carry0 = (S_ref[:], Sp_ref[:], E_ref[:], F_ref[:],
-                      ach_ref[:], bch_ref[:],
+                      P_ref[:],
                       ihead0, sc_ref[R_RPREV:R_RPREV + 1])
             track0 = (sc_ref[R_GMAX:R_GMAX + 1], sc_ref[R_GI:R_GI + 1],
                       sc_ref[R_GJ:R_GJ + 1],
                       sc_ref[R_NSTEPS:R_NSTEPS + 1],
-                      sc_ref[R_CDROP:R_CDROP + 1])
+                      sc_ref[R_CDROP:R_CDROP + 1],
+                      S_ref[c:c + 1])
             term0 = sc_ref[R_TERM:R_TERM + 1]
 
             def make_step_body(bulk):
               def step_body(t, state):
-                carry, track, term, aslab, bslab, dirbits, pp = state
-                # chars ride as int32 in the band state: int8 values
-                # threading through the where/concat carry chain make
-                # Mosaic's layout inference fail (i1 relayout error);
-                # the slabs stay int8 and convert on consumption
+                if trace:
+                    carry, track, term, aslab, bslab, dirbits, pp = state
+                else:
+                    # dirbits are trace-only output; keep them out of
+                    # the no-trace carry entirely
+                    carry, track, term, aslab, bslab, pp = state
+                # chars ride as int32 in the band state (packed, see
+                # _step_t): int8 values threading through the
+                # where/concat carry chain make Mosaic's layout
+                # inference fail (i1 relayout error); the slabs stay
+                # int8 and convert on consumption
                 anext = aslab[0:1].astype(jnp.int32)
                 bnext = bslab[0:1].astype(jnp.int32)
 
-                s_prev_c = carry[0][c:c + 1]
                 carry, down_i, masks, step_max, step_arg = _step_t(
                     p, W, B, carry, anext, bnext, pp, bulk=bulk,
                     trace=trace)
@@ -314,21 +328,24 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                 bslab = jnp.where(d, jnp.concatenate(
                     [bslab[1:], nrow], axis=0), bslab)
 
-                gmax, gi_, gj_, nsteps, cdrop = track
+                gmax, gi_, gj_, nsteps, cdrop, s_c = track
                 upd = (step_max > gmax) & (term == 0)
-                ihead_new = carry[6]
+                ihead_new = carry[5]
                 gmax = jnp.where(upd, step_max, gmax)
                 gi_ = jnp.where(upd, ihead_new - step_arg, gi_)
                 gj_ = jnp.where(upd, (pp + 3) - (ihead_new - step_arg),
                                 gj_)
                 nsteps = nsteps + (term == 0).astype(jnp.int32)
                 # gaba's saturating center-lane drop accumulator
-                # (gaba.c:1650; see dp/band.py)
-                cdrop = jnp.clip(cdrop - (carry[0][c:c + 1] - s_prev_c),
+                # (gaba.c:1650; see dp/band.py); the previous center
+                # value rides in the carry so only one lane extract
+                # runs per step
+                s_c_new = carry[0][c:c + 1]
+                cdrop = jnp.clip(cdrop - (s_c_new - s_c),
                                  -128, 127)
-                dirbits = dirbits | (down_i << (t % BLK))
 
                 if trace:
+                    dirbits = dirbits | (down_i << (t % BLK))
                     # int32 packing: sums of distinct powers of two
                     # wrap to the same bits as the uint32 OR would
                     w32 = (jnp.int32(1) << (jax.lax.broadcasted_iota(
@@ -354,15 +371,21 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                 xdrop_hit = (cdrop
                              > (p.xdrop - 128)).astype(jnp.int32)
                 term = jnp.where(at_blk_end, term | xdrop_hit, term)
-                dirbits = jnp.where(at_blk_end,
-                                    jnp.zeros((1, B), jnp.int32),
-                                    dirbits)
-                return (carry, (gmax, gi_, gj_, nsteps, cdrop), term,
-                        aslab, bslab, dirbits, pp + 1)
+                track = (gmax, gi_, gj_, nsteps, cdrop, s_c_new)
+                if trace:
+                    dirbits = jnp.where(at_blk_end,
+                                        jnp.zeros((1, B), jnp.int32),
+                                        dirbits)
+                    return (carry, track, term, aslab, bslab, dirbits,
+                            pp + 1)
+                return (carry, track, term, aslab, bslab, pp + 1)
               return step_body
 
-            state0 = (carry0, track0, term0, aslab0, bslab0,
-                      jnp.zeros((1, B), jnp.int32), p0)
+            if trace:
+                state0 = (carry0, track0, term0, aslab0, bslab0,
+                          jnp.zeros((1, B), jnp.int32), p0)
+            else:
+                state0 = (carry0, track0, term0, aslab0, bslab0, p0)
             # a segment is "bulk" (boundary handling compiled out, the
             # reference's fill_bulk_block vs fill_cap split) when no
             # lane of any problem can touch i==0/j==0 within it: ihead
@@ -377,8 +400,8 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                 lambda st: jax.lax.fori_loop(0, K * BLK,
                                              make_step_body(False), st),
                 state0)
-            carry, track, term, _, _, _, _ = state
-            S, Sp, E, F, ach, bch, ihead, rprev = carry
+            carry, track, term = state[0], state[1], state[2]
+            S, Sp, E, F, P, ihead, rprev = carry
 
             # p-limit termination for the NEXT segment
             pend = (nseg_row + 1) * SL - 1
@@ -386,7 +409,7 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                 jnp.int32)
 
             S_ref[:], Sp_ref[:], E_ref[:], F_ref[:] = S, Sp, E, F
-            ach_ref[:], bch_ref[:] = ach, bch
+            P_ref[:] = P
             sc_ref[R_IHEAD:R_IHEAD + 1] = ihead
             sc_ref[R_RPREV:R_RPREV + 1] = rprev
             sc_ref[R_TERM:R_TERM + 1] = term
@@ -458,8 +481,9 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         Sp = st0["Sp"].T
         E = st0["E"].T
         F = st0["F"].T
-        ach = st0["achar"].T.astype(jnp.int32)
-        bch = st0["bchar"].T.astype(jnp.int32)
+        # band chars packed (achar << 3) | bchar — see _step_t
+        P = (st0["achar"].T.astype(jnp.int32) << 3) \
+            | st0["bchar"].T.astype(jnp.int32)
         sc = jnp.zeros((NROWS, B), jnp.int32)
         sc = sc.at[R_IHEAD].set(st0["ihead"])
         plim = jnp.minimum(alen + blen + 2 * TAIL_N,
@@ -482,11 +506,10 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # Sp
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # E
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # F
-            jax.ShapeDtypeStruct((W, B), jnp.int32),   # ach
-            jax.ShapeDtypeStruct((W, B), jnp.int32),   # bch
+            jax.ShapeDtypeStruct((W, B), jnp.int32),   # P (packed chars)
             jax.ShapeDtypeStruct((NROWS, B), jnp.int32),  # scalar rows
         ]
-        state_specs = [chunked((W, B))] * 6 + [chunked((NROWS, B))]
+        state_specs = [chunked((W, B))] * 5 + [chunked((NROWS, B))]
         in_specs = [chunked((LAp, B)), chunked((LBp, B))] + state_specs
         scrlen = SL + (1 << max(max(PA, PB) - 1, 0))
         scratch = [
@@ -520,15 +543,15 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )
-        outs = call(aT, bT, S, Sp, E, F, ach, bch, sc)
-        sc = outs[6][:, :B0]
+        outs = call(aT, bT, S, Sp, E, F, P, sc)
+        sc = outs[5][:, :B0]
 
         res = FillResult(max_score=sc[R_GMAX], max_i=sc[R_GI],
                          max_j=sc[R_GJ], n_steps=sc[R_NSTEPS],
                          n_blocks=jnp.max(sc[R_NSEG]) * K)
         if trace:
-            masks, dirs, iheads, rprevs = outs[7], outs[8], outs[9], \
-                outs[10]
+            masks, dirs, iheads, rprevs = outs[6], outs[7], outs[8], \
+                outs[9]
             bufs = TraceBuffers(
                 masks=jnp.moveaxis(masks[..., :B0], 4, 0).view(
                     jnp.uint32),

@@ -200,6 +200,18 @@ def revcomp_codes(c: np.ndarray) -> np.ndarray:
 # device batch engine
 # ---------------------------------------------------------------------------
 
+# process-wide jitted-kernel cache shared by every engine with the
+# same scoring params: without it each CLI invocation / FillEngine
+# instance re-traces and re-compiles every shape bucket (measured
+# ~105 s of a 204 s "warm" bench_e2e run on the tunneled backend,
+# whose remote compile bypasses JAX's persistent cache)
+_FN_CACHE: dict = {}
+
+
+def _score_key(p: ScoreParams):
+    return (tuple(p.matrix), p.gi, p.ge, p.gfa, p.gfb, p.xdrop)
+
+
 class FillEngine:
     """Shape-bucketed jitted fill executor.
 
@@ -221,7 +233,8 @@ class FillEngine:
         # the per-dispatch cost (~30 ms RPC on tunneled backends)
         self.batch = batch if batch is not None else \
             (512 if use_pallas else 32)
-        self._fns = {}
+        self._fns = _FN_CACHE.setdefault(
+            (_score_key(score), use_pallas), {})
 
     @staticmethod
     def _bucket(n: int) -> int:

@@ -129,14 +129,18 @@ class ShardedFillEngine:
 
     def __init__(self, score: ScoreParams, mesh: Mesh,
                  batch: int | None = None):
-        from ..extend import FillEngine
+        from ..extend import _FN_CACHE, _score_key, FillEngine
 
         self.mesh = mesh
         ndev = mesh.devices.size
         self._inner = FillEngine(score, batch=batch or 16 * ndev,
                                  use_pallas=False)
-        # swap the fill-builder for the mesh-sharded one
+        # swap the fill-builder for the mesh-sharded one, with a cache
+        # partition of its own (same keys as the single-device fills,
+        # different kernels)
         eng = self._inner
+        eng._fns = _FN_CACHE.setdefault(
+            (_score_key(score), "sharded", id(mesh)), {})
         score_p = score
 
         def _fn(W, la, lb, trace):

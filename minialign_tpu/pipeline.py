@@ -75,7 +75,8 @@ def _pump_single(engine, g):
 
 def align_batch(mp: MapParams, mi: MMIndex, reads: list,
                 engine: FillEngine | None = None,
-                base_qid: int = 0, tbuf: dict | None = None) -> list:
+                base_qid: int = 0, tbuf: dict | None = None,
+                chain_out: list | None = None) -> list:
     """Map a batch of reads (list of 2-bit code arrays). Returns a Reg
     (or None for unmapped) per read, in input order.
 
@@ -138,6 +139,8 @@ def align_batch(mp: MapParams, mi: MMIndex, reads: list,
     for i in range(len(reads)):
         out = results.get(i)
         if out is None:
+            if chain_out is not None:
+                chain_out.append(None)
             continue
         rec = out[2]
         if rec["first"] is not None:
@@ -153,6 +156,14 @@ def align_batch(mp: MapParams, mi: MMIndex, reads: list,
                 rec = out[2] if out is not None else None
         if rec is not None and rec["out_rlen"] is not None:
             cur = rec["out_rlen"]
+        if chain_out is not None:
+            # per-read chain summary for the cross-host replay check
+            # (parallel/distributed.merge_host_outputs): enough to
+            # re-evaluate the first-root bounds test under the TRUE
+            # incoming rlen and to advance the chain without remapping
+            chain_out.append(None if rec is None else {
+                "first": rec["first"], "fired": rec["fired"],
+                "out_rlen": rec["out_rlen"], "qlen": len(reads[i])})
     tb["rlen"] = cur
 
     return [_postprocess(mp, results.get(i)) for i in range(len(reads))]

@@ -39,7 +39,7 @@ def test_default_sam_byte_identical():
 def test_threaded_pipeline_byte_identical():
     """-t4 engages the source->worker->drain host pipeline (cli._map_block)
     and must produce the exact -t1-schedule bytes (PARITY.md item 8)."""
-    got = _run_cli(["-t4", "-b6", f"{DATA}/tref.fa", f"{DATA}/treads.fq"])
+    got = _run_cli(["-t4", f"{DATA}/tref.fa", f"{DATA}/treads.fq"])
     want = open(f"{DATA}/ref_out.sam").read()
     assert _strip_pg(got) == _strip_pg(want)
 
