@@ -166,21 +166,25 @@ def build_index(params: IndexParams, names: Sequence[str],
     # permutation of the push order, which seed collection (and thus
     # chaining and output order) observe. Buckets of <= 64 entries
     # reduce to a stable insertion sort on hrem.
-    from ..ksort import ks_radix128
+    from .. import native
     b = int(getattr(params, "b", 14))
-    mask = np.uint64((1 << b) - 1)
-    bucket = (h & mask).astype(np.int64)
-    border = np.argsort(bucket, kind="stable")
-    h, pos, rid = h[border], pos[border], rid[border]
-    bsorted = bucket[border]
-    starts = np.flatnonzero(np.diff(bsorted)) + 1
-    starts = np.concatenate([[0], starts, [len(h)]])
-    final = np.empty(len(h), np.int64)
-    for bi in range(len(starts) - 1):
-        s0, s1 = int(starts[bi]), int(starts[bi + 1])
-        hrem = (h[s0:s1] >> np.uint64(b))
-        final[s0:s1] = s0 + ks_radix128(hrem)
-    h, pos, rid = h[final], pos[final], rid[final]
+    order = native.idx_bucket_sort(h, b) if native.available() else None
+    if order is None:
+        from ..ksort import ks_radix128
+        mask = np.uint64((1 << b) - 1)
+        bucket = (h & mask).astype(np.int64)
+        border = np.argsort(bucket, kind="stable")
+        hb = h[border]
+        bsorted = bucket[border]
+        starts = np.flatnonzero(np.diff(bsorted)) + 1
+        starts = np.concatenate([[0], starts, [len(h)]])
+        final = np.empty(len(h), np.int64)
+        for bi in range(len(starts) - 1):
+            s0, s1 = int(starts[bi]), int(starts[bi + 1])
+            hrem = (hb[s0:s1] >> np.uint64(b))
+            final[s0:s1] = s0 + ks_radix128(hrem)
+        order = border[final] if len(h) else final
+    h, pos, rid = h[order], pos[order], rid[order]
 
     # equal-h runs are contiguous within a bucket; re-lay the runs out
     # in key-ascending order (each run keeps its internal ksort order)
@@ -192,12 +196,19 @@ def build_index(params: IndexParams, names: Sequence[str],
             [run_start, [len(h)]])).astype(np.int64)
         run_h = h[run_start]
         korder = np.argsort(run_h, kind="stable")
-        gather = np.concatenate(
-            [np.arange(run_start[i], run_start[i] + run_len[i])
-             for i in korder])
+        # vectorized run re-layout (a per-run Python comprehension here
+        # allocated ~1 small array per distinct k-mer — hours at Gb
+        # scale): gather = each reordered run's start + within-run iota
+        st2 = run_start[korder]
+        ln2 = run_len[korder]
+        tot = int(ln2.sum())
+        gather = np.repeat(st2, ln2) + (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(np.cumsum(ln2) - ln2, ln2))
         h, pos, rid = h[gather], pos[gather], rid[gather]
+        del gather
         keys = run_h[korder]
-        counts = run_len[korder]
+        counts = ln2
         offsets = np.zeros(len(keys) + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
     else:

@@ -77,6 +77,9 @@ def _load():
     lib.ks_radix128.argtypes = [u64p, ctypes.c_int64, u64p]
     lib.ks_radix64.restype = None
     lib.ks_radix64.argtypes = [u32p, ctypes.c_int64, u32p]
+    lib.idx_bucket_sort.restype = None
+    lib.idx_bucket_sort.argtypes = [u64p, ctypes.c_int64,
+                                    ctypes.c_int, u64p]
     lib.parse_rv.restype = ctypes.c_int64
     lib.parse_rv.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                              ctypes.c_int64, u32p, ctypes.c_int64]
@@ -143,6 +146,20 @@ def ks_radix128(keys: np.ndarray) -> np.ndarray | None:
     keys = np.ascontiguousarray(keys, np.uint64)
     out = np.empty(len(keys), np.uint64)
     lib.ks_radix128(keys, len(keys), out)
+    return out.astype(np.int64)
+
+
+def idx_bucket_sort(h: np.ndarray, b: int) -> np.ndarray | None:
+    """Whole index-build ordering in one call: stable counting sort
+    into 2^b buckets by the low hash bits, then ksort's exact 128x
+    permutation per bucket keyed on hrem = h >> b (mm_idx_drain +
+    mm_idx_count_occ, minialign.c:2837+2882)."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(h, np.uint64)
+    out = np.empty(len(h), np.uint64)
+    lib.idx_bucket_sort(h, len(h), b, out)
     return out.astype(np.int64)
 
 

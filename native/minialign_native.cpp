@@ -799,4 +799,35 @@ void ks_radix64(const uint32_t* keys, int64_t n, uint32_t* out_order) {
   for (int64_t i = 0; i < n; i++) out_order[i] = recs[i].payload;
 }
 
+// Whole index-build ordering in one call (the 16k-bucket Python loop
+// with per-bucket ctypes round trips measured ~150x too slow at Gb
+// scale): stable counting sort into 2^b first-stage buckets by the
+// low hash bits (mm_idx_drain's arrival-order scatter,
+// minialign.c:2837), then ksort's exact 128x permutation per bucket
+// keyed on hrem = h >> b alone (mm_idx_count_occ, minialign.c:2882).
+// out_order: indices into the input.
+void idx_bucket_sort(const uint64_t* h, int64_t n, int b,
+                     uint64_t* out_order) {
+  const uint64_t mask = (b >= 64) ? ~0ull : ((1ull << b) - 1);
+  const size_t nb = (size_t)1 << b;
+  std::vector<int64_t> cnt(nb + 1, 0);
+  for (int64_t i = 0; i < n; i++) cnt[(h[i] & mask) + 1]++;
+  for (size_t d = 1; d <= nb; d++) cnt[d] += cnt[d - 1];
+  std::vector<Rec128> recs((size_t)n);
+  {
+    std::vector<int64_t> wp(cnt.begin(), cnt.end() - 1);
+    for (int64_t i = 0; i < n; i++) {
+      int64_t& p = wp[h[i] & mask];
+      recs[p] = {h[i] >> b, (uint64_t)i};
+      p++;
+    }
+  }
+  for (size_t d = 0; d < nb; d++) {
+    int64_t s0 = cnt[d], s1 = cnt[d + 1];
+    if (s1 - s0 > 1)
+      ks_radix<Rec128, uint64_t>(recs.data() + s0, s1 - s0, 8);
+  }
+  for (int64_t i = 0; i < n; i++) out_order[i] = recs[i].payload;
+}
+
 }  // extern "C" (ksort exports)
