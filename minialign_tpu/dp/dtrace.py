@@ -1,8 +1,6 @@
 """Device-side traceback: the per-alignment mask walk as a batched XLA
 state machine, so the (large) mask buffers never leave the device —
-only the op codes and counters transfer to the host (~50x less than
-shipping masks; the device->host link dominates E2E mapping time on
-tunneled backends).
+only RUN-LENGTH op entries and counters transfer to the host.
 
 Semantics are EXACTLY dp/traceback.traceback_one's walk — gaba's
 trace_core state machine (gaba.c:3123-3207): horizontal (R) gaps are
@@ -10,25 +8,27 @@ tested in the d_head state, vertical (D) gaps only in the d_tail state
 (after a diagonal or a v-gap); a gap head takes the one-base gf branch
 when the folded bit (gh & ~gfh) | open_next is clear, else an affine
 run continuing while NOT (h == 0 and e == 1) at each arrived cell.
-Re-expressed as one op per loop iteration with a phase register for
-the affine runs and a head/tail state bit:
 
-  phase 0: normal dispatch (head: h-gap or diagonal; tail: v-gap,
-           else h-gap, else diagonal)
-  phase 1: inside an F (query gap, 'D') run
-  phase 2: inside an E (ref gap, 'R') run
-  phase 3: boundary drain on i==0 (emit D until j==0)
-  phase 4: boundary drain on j==0 (emit R until i==0)
+Run-length emission (round-2): each while-loop iteration emits ONE
+int16 entry `op | count << 2` per live problem instead of one op:
 
-Each live problem emits exactly one op code per iteration (0 pad,
-1 'D', 2 'R', 3 diagonal = "DR"), written to a static row of the ops
-buffer — no scatters. Equality with the host walker is enforced by
-tests/test_dtrace.py.
+  * boundary drains (i==0 / j==0) emit the whole remaining run in one
+    entry (split only past the 16383 length cap, phases 3/4 guard the
+    one-time pricing);
+  * diagonal and affine-gap runs are chunked CHAIN probes deep: the
+    iteration walks up to CHAIN cells of the run, probing each arrived
+    cell's masks, and emits the run prefix as one entry; a still-live
+    run resumes via phases 1/2 exactly like the single-step walker.
+
+This cuts both the while-loop trip count (~5x at PBSIM identity) and
+the device->host result transfer (the dominant E2E cost on tunneled
+backends: the one-op encoding shipped ~1 byte per DP step). Equality
+with the host walker is enforced by tests/test_dtrace.py.
+
+Op codes: 0 pad, 1 'D', 2 'R', 3 diagonal ("DR").
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -38,14 +38,17 @@ from ..params import ScoreParams
 from .band import BLK, M_E, M_EO, M_F, M_FO, M_GFA, M_GFB
 
 OP_PAD, OP_D, OP_R, OP_X = 0, 1, 2, 3
+CHAIN = 8             # probe depth per iteration for diag/gap runs
+LEN_CAP = (1 << 14) - 1   # int16 entry: op | len << 2
 
 
 def make_device_traceback(p: ScoreParams, W: int):
     """Returns jit fn(masks, dirs, iheads0, score, ai, bj) ->
-    (ops (T, B) int8 backward-op codes, n_ops (B,), counts dict,
-    status (B,) 0 ok / 1 out-of-band). masks: (B, NB, BLK, 6, 2)
-    uint32, dirs: (B, NB) uint32, as produced by the fill (already
-    moveaxis'd); T = NB*BLK + 2."""
+    (rle (T, B) int16 backward run entries, n_ops (B,) total op count,
+    counts dict, status (B,) 0 ok / 1 out-of-band). masks:
+    (B, NB, BLK, 6, 2) uint32, dirs: (B, NB) uint32, as produced by
+    the fill (already moveaxis'd); T = NB*BLK + 2 entries worst case
+    (every entry carries >= 1 op)."""
     gi, ge = p.gi, p.ge
     gfa_eff, gfb_eff = p.gfa_eff, p.gfb_eff
     model = p.model
@@ -78,6 +81,19 @@ def make_device_traceback(p: ScoreParams, W: int):
             return ((w >> (qc % 32).astype(jnp.uint32)) & 1).astype(
                 jnp.int32)
 
+        def probe(pp, q):
+            """gaba mask algebra at one cell: (hb, vb, eb, fb)."""
+            mw = mwords(pp)
+            m_e = mbit(mw, M_E, q)
+            m_gfb = mbit(mw, M_GFB, q)
+            m_f = mbit(mw, M_F, q)
+            m_gfa = mbit(mw, M_GFA, q)
+            hb = (m_e | m_gfb) == 1
+            vb = (m_f | m_gfa) == 1
+            eb = ((m_e & (1 - m_gfb)) | mbit(mw, M_EO, q)) == 1
+            fb = ((m_f & (1 - m_gfa)) | mbit(mw, M_FO, q)) == 1
+            return hb, vb, eb, fb
+
         # ---- init (mirrors traceback_one's prologue)
         i0 = ai.astype(jnp.int32)
         j0 = bj.astype(jnp.int32)
@@ -105,7 +121,7 @@ def make_device_traceback(p: ScoreParams, W: int):
         q0 = ihead_pp0 - i0
         bad0 = (~empty) & ((q0 < 0) | (q0 >= W))
 
-        ops0 = jnp.zeros((T, B), jnp.int8)
+        rle0 = jnp.zeros((T, B), jnp.int16)
         counts0 = {k: jnp.zeros(B, jnp.int32) for k in
                    ("dcnt", "agcnt", "bgcnt", "n_open", "n_ext",
                     "gf_pen", "e_pen")}
@@ -114,7 +130,7 @@ def make_device_traceback(p: ScoreParams, W: int):
                       phase=jnp.zeros(B, jnp.int32),
                       head=jnp.ones(B, bool),   # gaba starts at d_head
                       done=empty | bad0, bad=bad0,
-                      t=jnp.int32(0), ops=ops0, **counts0)
+                      t=jnp.int32(0), rle=rle0, **counts0)
 
         def cond(st):
             return (~jnp.all(st["done"])) & (st["t"] < T)
@@ -127,7 +143,6 @@ def make_device_traceback(p: ScoreParams, W: int):
             bad = st["bad"]
             live = ~done
 
-            mw = mwords(pp)
             d_pp = dir_at(pp)
             d_pp1 = dir_at(pp - 1)
 
@@ -141,15 +156,7 @@ def make_device_traceback(p: ScoreParams, W: int):
             in_f = live & ~at_i0 & ~at_j0 & ~oob & (phase == 1)
             in_e = live & ~at_i0 & ~at_j0 & ~oob & (phase == 2)
 
-            # gaba mask algebra at the current cell
-            m_e = mbit(mw, M_E, q)
-            m_gfb = mbit(mw, M_GFB, q)
-            m_f = mbit(mw, M_F, q)
-            m_gfa = mbit(mw, M_GFA, q)
-            hb = (m_e | m_gfb) == 1
-            vb = (m_f | m_gfa) == 1
-            eb = ((m_e & (1 - m_gfb)) | mbit(mw, M_EO, q)) == 1
-            fb = ((m_f & (1 - m_gfa)) | mbit(mw, M_FO, q)) == 1
+            hb, vb, eb, fb = probe(pp, q)
 
             # dispatch: head tests the h side only; tail tests v first,
             # then falls through to the head dispatch at the same cell
@@ -162,7 +169,8 @@ def make_device_traceback(p: ScoreParams, W: int):
             b_f = v_disp & fb
 
             # boundary entry: price the whole remaining run up front
-            # (traceback_one's i==0 / j==0 blocks)
+            # (traceback_one's i==0 / j==0 blocks); phases 3/4 guard
+            # re-pricing across length-capped drain entries
             ent_i0 = at_i0 & (phase != 3)
             ent_j0 = at_j0 & (phase != 4)
             if model == 2:
@@ -172,31 +180,87 @@ def make_device_traceback(p: ScoreParams, W: int):
                 gfa_win = jnp.zeros_like(done)
                 gfb_win = jnp.zeros_like(done)
 
-            # ---- op selection
-            emit_d = at_i0 | b_vgf | b_f | in_f
-            emit_r = at_j0 | b_hgf | b_e | in_e
-            emit_x = b_dg
-            op = jnp.where(emit_d, OP_D,
-                           jnp.where(emit_r, OP_R,
-                                     jnp.where(emit_x, OP_X, OP_PAD)))
-            op = jnp.where(live, op, OP_PAD).astype(jnp.int8)
-            ops = jax.lax.dynamic_update_index_in_dim(
-                st["ops"], op, st["t"], axis=0)
+            # ---- chained runs: affine gaps and diagonal streaks walk
+            # up to CHAIN cells in this iteration, probing each arrived
+            # cell (identical stop rules to the single-step walker)
+            run_e = b_e | in_e
+            run_f = b_f | in_f
+            run_d = b_dg
+            chain = run_e | run_f | run_d
 
-            # ---- counters
+            # first move (the op emitted at the CURRENT cell)
+            qk = jnp.where(run_e, q + d_pp,
+                           jnp.where(run_f, q - (1 - d_pp),
+                                     q + d_pp - (1 - d_pp1)))
+            ppk = pp - jnp.where(run_d, 2, 1)
+            ik = i - (run_e | run_d).astype(jnp.int32)
+            jk = j - (run_f | run_d).astype(jnp.int32)
+            n_run = chain.astype(jnp.int32)
+            cont = chain
+            for _ in range(CHAIN - 1):
+                hbk, vbk, ebk, fbk = probe(ppk, qk)
+                okq = (qk >= 0) & (qk < W)
+                e_stop = ~hbk & ebk
+                f_stop = ~vbk & fbk
+                cont = cont & okq & jnp.where(
+                    run_e, ~e_stop & (ik > 0),
+                    jnp.where(run_f, ~f_stop & (jk > 0),
+                              (ik > 0) & (jk > 0) & ~vbk & ~hbk))
+                dk = dir_at(ppk)
+                dk1 = dir_at(ppk - 1)
+                q2 = jnp.where(run_e, qk + dk,
+                               jnp.where(run_f, qk - (1 - dk),
+                                         qk + dk - (1 - dk1)))
+                pp2 = ppk - jnp.where(run_d, 2, 1)
+                qk = jnp.where(cont, q2, qk)
+                ppk = jnp.where(cont, pp2, ppk)
+                ik = ik - (cont & (run_e | run_d)).astype(jnp.int32)
+                jk = jk - (cont & (run_f | run_d)).astype(jnp.int32)
+                n_run = n_run + cont
+            # run continuation into the NEXT iteration: stop iff the
+            # ARRIVED cell has (h == 0 and e == 1) for e-runs /
+            # (v == 0 and f == 1) for f-runs (gaba's _trace_test_gap)
+            hbf, vbf, ebf, fbf = probe(ppk, qk)
+            e_more = cont & run_e & ~(~hbf & ebf) & (ik > 0)
+            f_more = cont & run_f & ~(~vbf & fbf) & (jk > 0)
+
+            # one-base gf gaps (always exactly one base)
+            q_s = jnp.where(b_hgf, q + d_pp, q - (1 - d_pp))
+            single = b_hgf | b_vgf
+
+            # ---- boundary drains, length-capped for the int16 entry
+            dr_i0 = jnp.minimum(jnp.where(at_i0, j, 0), LEN_CAP)
+            dr_j0 = jnp.minimum(jnp.where(at_j0, i, 0), LEN_CAP)
+
+            # ---- entry emission
+            op = jnp.where(at_i0 | run_f | b_vgf, OP_D,
+                           jnp.where(at_j0 | run_e | b_hgf, OP_R,
+                                     jnp.where(run_d, OP_X, OP_PAD)))
+            length = jnp.where(at_i0, dr_i0,
+                               jnp.where(at_j0, dr_j0,
+                                         jnp.where(chain, n_run,
+                                                   single.astype(
+                                                       jnp.int32))))
+            emit = live & (length > 0)
+            entry = jnp.where(emit, op | (length << 2), 0).astype(
+                jnp.int16)
+            rle = jax.lax.dynamic_update_index_in_dim(
+                st["rle"], entry, st["t"], axis=0)
+
+            # ---- counters (whole-run amounts per iteration)
             c = {k: st[k] for k in ("dcnt", "agcnt", "bgcnt", "n_open",
                                     "n_ext", "gf_pen", "e_pen")}
-            c["dcnt"] += b_dg
+            c["dcnt"] += jnp.where(run_d, n_run, 0)
             c["bgcnt"] += jnp.where(ent_i0, j,
-                                    (b_vgf | b_f | in_f).astype(
-                                        jnp.int32))
+                                    jnp.where(run_f, n_run,
+                                              b_vgf.astype(jnp.int32)))
             c["agcnt"] += jnp.where(ent_j0, i,
-                                    (b_hgf | b_e | in_e).astype(
-                                        jnp.int32))
+                                    jnp.where(run_e, n_run,
+                                              b_hgf.astype(jnp.int32)))
             c["n_open"] += (b_f | b_e
                             | (ent_i0 & ~gfa_win)
                             | (ent_j0 & ~gfb_win)).astype(jnp.int32)
-            c["n_ext"] += (b_f | in_f | b_e | in_e).astype(jnp.int32) \
+            c["n_ext"] += jnp.where(run_f | run_e, n_run, 0) \
                 + jnp.where(ent_i0 & ~gfa_win, j, 0) \
                 + jnp.where(ent_j0 & ~gfb_win, i, 0)
             c["gf_pen"] += jnp.where(b_vgf, gfa_eff, 0) \
@@ -205,54 +269,39 @@ def make_device_traceback(p: ScoreParams, W: int):
                 + jnp.where(ent_j0 & gfb_win, p.gfb * i, 0)
             c["e_pen"] += jnp.where(b_hgf, gfb_eff, 0) \
                 + jnp.where(b_e, gi, 0) \
-                + jnp.where(b_e | in_e, ge, 0) \
+                + jnp.where(run_e, n_run * ge, 0) \
                 + jnp.where(ent_j0 & gfb_win, p.gfb * i, 0) \
                 + jnp.where(ent_j0 & ~gfb_win, gi + i * ge, 0)
 
-            # ---- moves (gap runs move within the band; boundary
-            # drains just count down)
-            mv_f = b_vgf | b_f | in_f
-            mv_e = b_hgf | b_e | in_e
-            q_n = jnp.where(mv_f, q - (1 - d_pp),
-                            jnp.where(mv_e, q + d_pp,
-                                      jnp.where(b_dg,
-                                                q + d_pp - (1 - d_pp1),
-                                                q)))
-            pp_n = pp - (mv_f | mv_e).astype(jnp.int32) \
-                - 2 * b_dg.astype(jnp.int32)
-            i_n = i - (mv_e | b_dg | at_j0).astype(jnp.int32)
-            j_n = j - (mv_f | b_dg | at_i0).astype(jnp.int32)
+            # ---- final state per lane
+            i_n = jnp.where(chain, ik,
+                            jnp.where(b_hgf, i - 1,
+                                      jnp.where(at_j0, i - dr_j0, i)))
+            j_n = jnp.where(chain, jk,
+                            jnp.where(b_vgf, j - 1,
+                                      jnp.where(at_i0, j - dr_i0, j)))
+            pp_n = jnp.where(chain, ppk,
+                             jnp.where(single, pp - 1, pp))
+            q_n = jnp.where(chain, qk,
+                            jnp.where(single, q_s, q))
 
-            # ---- run continuation: stop iff the ARRIVED cell has
-            # (h == 0 and e == 1) (gaba's _trace_test_gap), else keep
-            # popping
-            mw1 = mwords(pp_n)
-            m_e1 = mbit(mw1, M_E, q_n)
-            m_gfb1 = mbit(mw1, M_GFB, q_n)
-            m_f1 = mbit(mw1, M_F, q_n)
-            m_gfa1 = mbit(mw1, M_GFA, q_n)
-            hb1 = (m_e1 | m_gfb1) == 1
-            vb1 = (m_f1 | m_gfa1) == 1
-            eb1 = ((m_e1 & (1 - m_gfb1)) | mbit(mw1, M_EO, q_n)) == 1
-            fb1 = ((m_f1 & (1 - m_gfa1)) | mbit(mw1, M_FO, q_n)) == 1
-            e_stop = ~hb1 & eb1
-            f_stop = ~vb1 & fb1
-            e_cont = (b_e | in_e) & ~e_stop & (i_n > 0)
-            f_cont = (b_f | in_f) & ~f_stop & (j_n > 0)
-
-            phase_n = jnp.where(f_cont, 1,
-                                jnp.where(e_cont, 2,
-                                          jnp.where(at_i0, 3,
-                                                    jnp.where(at_j0, 4,
-                                                              0))))
+            phase_n = jnp.where(f_more, 1,
+                                jnp.where(e_more, 2,
+                                          jnp.where(at_i0 & (j_n > 0),
+                                                    3,
+                                                    jnp.where(
+                                                        at_j0
+                                                        & (i_n > 0),
+                                                        4, 0))))
             phase_n = jnp.where(live, phase_n, phase)
             # h-gaps return to d_head; diagonals and v-gaps to d_tail
-            head_n = jnp.where(live & (b_hgf | b_e | in_e), True,
-                               jnp.where(live & (b_dg | b_vgf | b_f
-                                                 | in_f), False, head))
+            head_n = jnp.where(live & (b_hgf | run_e), True,
+                               jnp.where(live & (run_d | b_vgf
+                                                 | run_f), False,
+                                         head))
 
-            # run continuation out-of-band abort (checked on entry to
-            # the next iteration via oob; the -1 <= q <= W post-check)
+            # defensive post-move band check (the single-step walker's
+            # -1 <= q <= W tolerance; anything further is corruption)
             post_bad = live & ~at_i0 & ~at_j0 & ~oob & \
                 ((q_n < -1) | (q_n > W))
             bad_n = bad | oob | post_bad
@@ -266,12 +315,18 @@ def make_device_traceback(p: ScoreParams, W: int):
 
             return dict(i=i, j=j, pp=pp, q=q, phase=phase_n,
                         head=head_n, done=done_n, bad=bad_n,
-                        t=st["t"] + 1, ops=ops, **c)
+                        t=st["t"] + 1, rle=rle, **c)
 
         st = jax.lax.while_loop(cond, body, state0)
         counts = {k: st[k] for k in ("dcnt", "agcnt", "bgcnt", "n_open",
                                      "n_ext", "gf_pen", "e_pen")}
-        n_ops = jnp.sum(st["ops"] != OP_PAD, axis=0).astype(jnp.int32)
-        return st["ops"], n_ops, counts, st["bad"].astype(jnp.int32)
+        # int16 entries are bit-packed (op | len << 2) and may wrap
+        # negative; widen via uint16 to recover the length field
+        n_ops = jnp.sum((st["rle"].astype(jnp.uint16)
+                         .astype(jnp.int32) >> 2),
+                        axis=0).astype(jnp.int32)
+        n_ent = jnp.sum(st["rle"] != 0, axis=0).astype(jnp.int32)
+        return st["rle"], n_ops, n_ent, counts, \
+            st["bad"].astype(jnp.int32)
 
     return run

@@ -233,7 +233,9 @@ def _extract_window(src_ref, off, SL: int, P: int, B: int,
 
 
 def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
-                      K: int, n_seg: int, PA: int, PB: int):
+                      K: int, n_seg: int, PA: int, PB: int,
+                      tlA: bool = False, tlB: bool = False,
+                      J: int = 8, PS: int = 10):
     """Whole-fill kernel: ONE pallas launch runs every 32-step block of
     every problem to completion (per-launch dispatch costs ~300us on
     tunneled backends — the multi-launch design spent 6x more time
@@ -258,13 +260,28 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
         # the start of each grid step.
         aT_ref, bT_ref = refs[0], refs[1]
         ins = refs[2:8]
+        rest = list(refs[8:])
         if trace:
             (S_ref, Sp_ref, E_ref, F_ref, P_ref, sc_ref,
-             masks_ref, dirs_ref, iheads_ref, rprevs_ref,
-             scr0, scr1, mstage_ref, sem) = refs[8:]
+             masks_ref, dirs_ref, iheads_ref, rprevs_ref) = rest[:10]
+            rest = rest[10:]
         else:
-            (S_ref, Sp_ref, E_ref, F_ref, P_ref, sc_ref,
-             scr0, scr1) = refs[8:]
+            (S_ref, Sp_ref, E_ref, F_ref, P_ref, sc_ref) = rest[:6]
+            rest = rest[6:]
+        scr0, scr1 = rest[0], rest[1]
+        rest = rest[2:]
+        supa_ref = supb_ref = basesc = None
+        if tlA or tlB:
+            basesc = rest[0]
+            rest = rest[1:]
+        if tlA:
+            supa_ref = rest[0]
+            rest = rest[1:]
+        if tlB:
+            supb_ref = rest[0]
+            rest = rest[1:]
+        if trace:
+            mstage_ref, sem = rest[0], rest[1]
         for src, dst in zip(ins, (S_ref, Sp_ref, E_ref, F_ref,
                                   P_ref, sc_ref)):
             dst[:] = src[:]
@@ -282,9 +299,42 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
             jhead0 = (p0 + 2) - ihead0 + (W - 1)
             offa = jnp.clip(ihead0, 0, 1 << PA)
             offb = jnp.clip(jhead0, 0, 1 << PB)
-            # the two extractions run sequentially and share scratch
-            aslab0 = _extract_window(aT_ref, offa, SL, PA, B, scr0, scr1)
-            bslab0 = _extract_window(bT_ref, offb, SL, PB, B, scr0, scr1)
+            # two-level extraction (long sources): every J segments a
+            # super-window of 2**PS + SL rows is extracted from the
+            # full source at the current offset; per-segment windows
+            # then extract from it at the (small) relative offset.
+            # Offsets advance <= SL per segment, so J*SL <= 2**PS
+            # guarantees coverage. Cuts per-segment select traffic
+            # ~(2**P)/(2**PS + 2**P/J)-fold; bit-identical by
+            # construction (same rows reach the slabs).
+            SUPL = (1 << PS) + SL
+            if tlA or tlB:
+                refresh = (seg % J) == 0
+
+                @pl.when(refresh)
+                def _():
+                    if tlA:
+                        supa_ref[...] = _extract_window(
+                            aT_ref, offa, SUPL, PA, B, scr0, scr1)
+                        basesc[0:1] = offa
+                    if tlB:
+                        supb_ref[...] = _extract_window(
+                            bT_ref, offb, SUPL, PB, B, scr0, scr1)
+                        basesc[1:2] = offb
+            if tlA:
+                rel_a = jnp.clip(offa - basesc[0:1], 0, 1 << PS)
+                aslab0 = _extract_window(supa_ref, rel_a, SL, PS, B,
+                                         scr0, scr1)
+            else:
+                aslab0 = _extract_window(aT_ref, offa, SL, PA, B,
+                                         scr0, scr1)
+            if tlB:
+                rel_b = jnp.clip(offb - basesc[1:2], 0, 1 << PS)
+                bslab0 = _extract_window(supb_ref, rel_b, SL, PS, B,
+                                         scr0, scr1)
+            else:
+                bslab0 = _extract_window(bT_ref, offb, SL, PB, B,
+                                         scr0, scr1)
 
             if trace:
                 iheads_ref[pl.ds(seg * K, 1)] = ihead0
@@ -466,11 +516,21 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             b = jnp.pad(b, ((0, B - B0), (0, 0)), constant_values=NCODE)
             alen = jnp.pad(jnp.asarray(alen), (0, B - B0))
             blen = jnp.pad(jnp.asarray(blen), (0, B - B0))
-        # pad to (2**P + SL) rows of NCODE sentinel: window offsets are
-        # clipped to [0, 2**P], so every out-of-data row reads NCODE
+        # pad to (2**P + window) rows of NCODE sentinel: window offsets
+        # are clipped to [0, 2**P], so every out-of-data row reads
+        # NCODE. Long sources use two-level extraction (J-segment
+        # super-windows of 2**PS + SL rows, see _make_fill_kernel).
         PA = max((LA + SL - 1).bit_length(), 3)
         PB = max((LB + SL - 1).bit_length(), 3)
-        LAp, LBp = (1 << PA) + SL, (1 << PB) + SL
+        J = 8
+        PS = max((J * SL).bit_length() - 1, 3)
+        if (1 << PS) < J * SL:
+            PS += 1
+        SUPL = (1 << PS) + SL
+        tlA = PA > PS + 2
+        tlB = PB > PS + 2
+        LAp = (1 << PA) + (SUPL if tlA else SL)
+        LBp = (1 << PB) + (SUPL if tlB else SL)
         aT = jnp.pad(a, ((0, 0), (0, LAp - LA)),
                      constant_values=NCODE).T          # (LAp, B) int8
         bT = jnp.pad(b, ((0, 0), (0, LBp - LB)),
@@ -492,7 +552,8 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         sc = sc.at[R_CDROP].set(jnp.full((B,), -128, jnp.int32))
 
         NB = max_blocks
-        kernel = _make_fill_kernel(p, W, BC, trace, K, n_seg, PA, PB)
+        kernel = _make_fill_kernel(p, W, BC, trace, K, n_seg, PA, PB,
+                                   tlA=tlA, tlB=tlB, J=J, PS=PS)
 
         def chunked(shape):
             blk = shape[:-1] + (BC,)
@@ -511,11 +572,19 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         ]
         state_specs = [chunked((W, B))] * 5 + [chunked((NROWS, B))]
         in_specs = [chunked((LAp, B)), chunked((LBp, B))] + state_specs
-        scrlen = SL + (1 << max(max(PA, PB) - 1, 0))
+        # scratch must fit the largest extraction at either level
+        win = max(SUPL if (tlA or tlB) else SL, SL)
+        scrlen = win + (1 << max(max(PA, PB) - 1, 0))
         scratch = [
             pltpu.VMEM((scrlen, BC), jnp.int8),
             pltpu.VMEM((scrlen, BC), jnp.int8),
         ]
+        if tlA or tlB:
+            scratch.append(pltpu.VMEM((8, BC), jnp.int32))   # bases
+        if tlA:
+            scratch.append(pltpu.VMEM((SUPL, BC), jnp.int8))
+        if tlB:
+            scratch.append(pltpu.VMEM((SUPL, BC), jnp.int8))
         if trace:
             out_shape = state_shapes + [
                 jax.ShapeDtypeStruct((NB, BLK, 6, 2, B), jnp.int32),

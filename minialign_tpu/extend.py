@@ -392,23 +392,31 @@ class FillEngine:
         if key not in self._fns:
             self._fns[key] = make_device_traceback(self.p, W)
         dt = self._fns[key]
-        ops_d, n_ops_d, counts_d, bad_d = dt(
+        rle_d, n_ops_d, n_ent_d, counts_d, bad_d = dt(
             bufs.masks, bufs.dirs, bufs.iheads[:, 0],
             res_d.max_score, res_d.max_i, res_d.max_j)
-        return (sub, W, res_d, ops_d, n_ops_d, counts_d, bad_d)
+        return (sub, W, res_d, rle_d, n_ops_d, n_ent_d, counts_d,
+                bad_d)
 
     def _trace_device_harvest(self, out, pend):
         from .dp.traceback import TraceResult, _identity
 
-        sub, W, res_d, ops_d, n_ops_d, counts_d, bad_d = pend
+        sub, W, res_d, rle_d, n_ops_d, n_ent_d, counts_d, bad_d = pend
         p = self.p
         nreal = len(sub)
         ms = np.asarray(res_d.max_score)
         mi = np.asarray(res_d.max_i)
         mj = np.asarray(res_d.max_j)
         n_ops = np.asarray(n_ops_d[:nreal])
-        tmax = int(n_ops.max()) if nreal else 0
-        ops = np.asarray(ops_d[:tmax, :nreal])
+        n_ent = np.asarray(n_ent_d[:nreal])
+        # RLE entries: only max(n_ent) rows of int16 cross the link
+        # (~5x fewer rows and half the bytes of the one-op-per-row
+        # encoding — the transfer dominated E2E on tunneled backends)
+        tmax = int(n_ent.max()) if nreal else 0
+        # uint16 view first: entries are bit-packed (op | len << 2)
+        # and wrap negative as int16 for len >= 8192
+        rle = np.asarray(rle_d[:tmax, :nreal]).view(np.uint16) \
+            .astype(np.int32)
         counts = {k: np.asarray(v[:nreal]) for k, v in counts_d.items()}
         bad = np.asarray(bad_d[:nreal])
 
@@ -422,7 +430,8 @@ class FillEngine:
             elif bad[s]:
                 tr = None
             else:
-                col = ops[:n_ops[s], s]
+                ent = rle[:n_ent[s], s]
+                col = np.repeat(ent & 3, ent >> 2)
                 path = "".join(self._OPS_FWD[col])[::-1]
                 path_rev = "".join(self._OPS_REV[col])
                 ops_rev = "".join(self._OPS_TOK[col])

@@ -53,7 +53,11 @@ def test_cross_band_vs_oracle(pname, W):
     p = PARAMS[pname]
     import zlib
     rng = np.random.default_rng(zlib.crc32(f"{pname}/{W}".encode()))
-    n_trials = 24
+    # 40 x 15 (model x W) cells = 600 randomized trials total, vs the
+    # reference's 5000-trial cross test (gaba.c:5723-5764) run once
+    # per release; the E2E fuzzer (tests/tools/fuzz_parity.py) layers
+    # whole-pipeline coverage on top
+    n_trials = 40
     seqs_a, seqs_b, expect = [], [], []
     for _ in range(n_trials):
         la = int(rng.integers(10, 300))

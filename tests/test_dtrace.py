@@ -8,9 +8,11 @@ from minialign_tpu.dp import band, dtrace, traceback
 from minialign_tpu.params import ScoreParams
 
 
-def _expand(ops_col, n):
-    """Backward op codes -> (path, path_rev) like the host walker."""
-    ops = ops_col[:n]
+def _expand(rle_col):
+    """Backward RLE entries (op | len << 2) -> (path, path_rev) like
+    the host walker."""
+    ent = np.asarray(rle_col).view(np.uint16).astype(np.int32)
+    ops = np.repeat(ent & 3, ent >> 2)
     fwd, rev = [], []
     for o in ops:
         if o == dtrace.OP_D:
@@ -57,11 +59,13 @@ def test_device_traceback_matches_host(pname):
     res = type(res)(*(np.asarray(x) for x in res))
 
     dt = dtrace.make_device_traceback(p, W)
-    ops, n_ops, counts, bad = dt(bufs.masks, bufs.dirs,
-                                 bufs.iheads[:, 0],
-                                 res.max_score, res.max_i, res.max_j)
-    ops = np.asarray(ops)
+    rle, n_ops, n_ent, counts, bad = dt(bufs.masks, bufs.dirs,
+                                        bufs.iheads[:, 0],
+                                        res.max_score, res.max_i,
+                                        res.max_j)
+    rle = np.asarray(rle)
     n_ops = np.asarray(n_ops)
+    n_ent = np.asarray(n_ent)
     counts = {k: np.asarray(v) for k, v in counts.items()}
     bad = np.asarray(bad)
 
@@ -77,9 +81,10 @@ def test_device_traceback_matches_host(pname):
             assert bad[k] == 1, k
             continue
         assert bad[k] == 0, k
-        fwd, rev = _expand(ops[:, k], None)
+        fwd, rev = _expand(rle[:n_ent[k], k])
         assert fwd == want.path, k
         assert rev == want.path_rev, k
+        assert int((rle[:n_ent[k], k] >> 2).sum()) == n_ops[k], k
         assert counts["dcnt"][k] == want.dcnt, k
         assert counts["agcnt"][k] == want.agcnt, k
         assert counts["bgcnt"][k] == want.bgcnt, k

@@ -71,3 +71,37 @@ def test_pallas_matches_xla(pname, W):
                                   np.asarray(b2.iheads)[:, :1])
     np.testing.assert_array_equal(np.asarray(b1.masks)[:, :n],
                                   np.asarray(b2.masks)[:, :n])
+
+
+@pytest.mark.slow
+def test_pallas_two_level_extraction_matches_xla():
+    """Long sources route through the two-level (super-window)
+    extraction path (tlA/tlB in _make_fill_kernel); bit-parity with
+    the XLA fill must hold across super-window refreshes. K=1 keeps
+    the threshold low enough to exercise on CPU interpret."""
+    p = simple(2, 3, 5, 1)
+    W = 64
+    rng = np.random.default_rng(99)
+    a = rng.integers(0, 4, 2200)
+    b = mutate(rng, a, W)
+    ab, alen = band.pad_codes([a])
+    bb, blen = band.pad_codes([b])
+
+    nb = (2 * 2300) // band.BLK + 2
+    ref_fill = band.make_fill(p, W, max_blocks=nb, trace=True)
+    pal_fill = pallas_fill.make_fill_pallas(p, W, max_blocks=nb,
+                                            trace=True, interpret=True,
+                                            K=1)
+    r1, b1 = ref_fill(ab, alen, bb, blen)
+    r2, b2 = pal_fill(ab, alen, bb, blen)
+    np.testing.assert_array_equal(np.asarray(r1.max_score),
+                                  np.asarray(r2.max_score))
+    np.testing.assert_array_equal(np.asarray(r1.max_i),
+                                  np.asarray(r2.max_i))
+    np.testing.assert_array_equal(np.asarray(r1.max_j),
+                                  np.asarray(r2.max_j))
+    nbl = int(np.asarray(r1.n_blocks))
+    np.testing.assert_array_equal(np.asarray(b1.dirs)[:, :nbl],
+                                  np.asarray(b2.dirs)[:, :nbl])
+    np.testing.assert_array_equal(np.asarray(b1.masks)[:, :nbl],
+                                  np.asarray(b2.masks)[:, :nbl])
