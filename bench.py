@@ -1,19 +1,28 @@
-"""Benchmark: banded-DP fill throughput on the default device.
+"""Benchmark driver: one JSON line with the round's headline metric —
+end-to-end CLI mapping throughput (Mbases/s) — plus the banded-DP
+kernel rates (no-trace AND trace mode) as companion fields.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baselines (/root/reference/README.md:48-53, BASELINE.md):
+  * E2E: the reference maps hg38 x3 (9.2 Gb reads) in 648 s on 4
+    Skylake threads = 14.2 Mbases/s; vs_baseline = ours / 14.2.
+  * kernel: the same workload implies ~3.6 GCUPS of effective
+    banded-DP throughput on the reference host.
 
-Workload: a batch of long-read extension problems (20 kb reads at ~88%
-identity, the PBSIM profile of the reference benchmarks) through the
-W=64 no-trace fill — the hot kernel of the aligner.
+Workloads:
+  * kernel: B x 20 kb PBSIM-profile (88% identity) extension pairs
+    through the W=64 fill, slope-free sustained-rate measurement.
+  * e2e: bench_e2e.py's CLI run (5 Mb genome, 500 x 20 kb reads,
+    -xpacbio) — BENCH_E2E_READS et al. override.
 
-Baseline: the reference maps hg38 x3 (9.2 Gb reads) in 648 s on 4
-Skylake threads (README.md:51) = 14.2 Mbases/s; with ~2 extensions per
-base at band width 64 that is ~3.6 GCUPS of effective banded-DP
-throughput (BASELINE.md derived sizing). vs_baseline = GCUPS / 3.6.
+Note: on tunneled single-chip dev backends the E2E number is dominated
+by per-dispatch RPC (~30 ms) and a ~MB/s host link; neither cost
+exists on directly-attached hardware. The kernel rates measure the
+chip itself.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -21,10 +30,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+REF_MBPS = 14.2
 REF_GCUPS = 3.6
 
 
-def main():
+def kernel_rates():
     import jax
 
     from minialign_tpu.dp import band
@@ -32,13 +42,11 @@ def main():
 
     p = ScoreParams(matrix=tuple(2 if (i & 3) == (i >> 2) else -4
                                  for i in range(16)),
-                    gi=4, ge=2, gfa=3, gfb=3, xdrop=50)  # -xpacbio scoring
+                    gi=4, ge=2, gfa=3, gfb=3, xdrop=50)  # -xpacbio
 
     B = int(os.environ.get("BENCH_B", "512"))
     L = int(os.environ.get("BENCH_L", "20480"))
     rng = np.random.default_rng(0)
-
-    # ~88% identity mutated pairs (PBSIM accuracy profile)
     a = rng.integers(0, 4, (B, L)).astype(np.int8)
     b = a.copy()
     mut = rng.random((B, L)) < 0.12
@@ -51,53 +59,89 @@ def main():
     bb[:, :L] = b
     alen = np.full(B, L, np.int32)
     blen = np.full(B, L, np.int32)
-
     max_blocks = (2 * L + 2 * band.TAIL_N) // band.BLK + 2
-    # anything but plain CPU is a TPU-like backend (incl. tunneled
-    # platforms that report their own name, e.g. "axon")
-    fill = None
-    if jax.default_backend() != "cpu":
-        from minialign_tpu.dp.pallas_fill import make_fill_pallas
-        fill = make_fill_pallas(p, 64, max_blocks=max_blocks, trace=False)
 
+    use_pallas = jax.default_backend() != "cpu"
     ab_d, bb_d = jax.device_put(ab), jax.device_put(bb)
     alen_d, blen_d = jax.device_put(alen), jax.device_put(blen)
 
-    # warmup / compile (materialize to host: on tunneled backends
-    # block_until_ready does not guarantee completion)
+    out = {}
+    for trace in (False, True):
+        fill = None
+        if use_pallas:
+            from minialign_tpu.dp.pallas_fill import make_fill_pallas
+            fill = make_fill_pallas(p, 64, max_blocks=max_blocks,
+                                    trace=trace)
+        try:
+            r = fill(ab_d, alen_d, bb_d, blen_d)
+            np.asarray((r[0] if trace else r).max_score)
+        except Exception as e:
+            print(f"[bench] pallas trace={trace} failed "
+                  f"({type(e).__name__}); falling back to XLA fill",
+                  file=sys.stderr)
+            fill = band.make_fill(p, 64, max_blocks=max_blocks,
+                                  trace=trace)
+            r = fill(ab_d, alen_d, bb_d, blen_d)
+            np.asarray((r[0] if trace else r).max_score)
+
+        runs = 4 if trace else 8
+        t0 = time.perf_counter()
+        results = [fill(ab_d, alen_d, bb_d, blen_d)
+                   for _ in range(runs)]
+        for r in results:
+            np.asarray((r[0] if trace else r).max_score)
+        dt = (time.perf_counter() - t0) / runs
+        res = results[-1][0] if trace else results[-1]
+        n_steps = int(np.asarray(res.n_steps).sum())
+        gcups = n_steps * 64 / dt / 1e9
+        out["trace" if trace else "notrace"] = round(gcups, 3)
+    return out
+
+
+def e2e_rate():
+    """Run bench_e2e.py in a subprocess (its own workload cache) and
+    parse the JSON line."""
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "bench_e2e.py")],
+        capture_output=True, timeout=5400)
+    line = r.stdout.decode().strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    k = kernel_rates()
     try:
-        res = fill(ab_d, alen_d, bb_d, blen_d)
-        np.asarray(res.max_score)
-    except Exception as e:
-        # never leave the driver without a metric: fall back to the
-        # (bit-identical, slower) XLA fill
-        print(f"[bench] pallas path failed ({type(e).__name__}), "
-              "falling back to the XLA fill", file=sys.stderr)
-        fill = band.make_fill(p, 64, max_blocks=max_blocks, trace=False)
-        res = fill(ab_d, alen_d, bb_d, blen_d)
-        np.asarray(res.max_score)
+        e = e2e_rate()
+    except Exception as exc:   # never leave the driver metric-less
+        print(f"[bench] e2e failed: {exc}", file=sys.stderr)
+        e = None
 
-    # sustained throughput: dispatch all runs, then sync once — a
-    # tunneled backend adds ~30 ms of RPC latency per host round-trip,
-    # which pipelined dispatches overlap (the production pipeline also
-    # keeps many fills in flight)
-    runs = 8
-    t0 = time.perf_counter()
-    results = [fill(ab_d, alen_d, bb_d, blen_d) for _ in range(runs)]
-    for r in results:
-        np.asarray(r.max_score)
-    dt = (time.perf_counter() - t0) / runs
-    res = results[-1]
-
-    n_steps = int(np.asarray(res.n_steps).sum())
-    cells = n_steps * 64
-    gcups = cells / dt / 1e9
-    print(json.dumps({
-        "metric": "band_dp_gcups",
-        "value": round(gcups, 3),
-        "unit": "GCUPS (banded-DP cell updates/s, W=64)",
-        "vs_baseline": round(gcups / REF_GCUPS, 3),
-    }))
+    if e is not None:
+        out = {
+            "metric": "e2e_mbases_per_s",
+            "value": e["value"],
+            "unit": "Mbases/s end-to-end (CLI -xpacbio, 20 kb reads; "
+                    "kernel GCUPS in companion fields)",
+            "vs_baseline": e["vs_baseline"],
+            "reads_per_s": e.get("reads_per_s"),
+            "e2e_wall_s": e.get("wall_s"),
+            "kernel_gcups_notrace": k.get("notrace"),
+            "kernel_gcups_trace": k.get("trace"),
+            "kernel_vs_ref_gcups": round(
+                (k.get("notrace") or 0) / REF_GCUPS, 3),
+        }
+    else:
+        g = k.get("notrace") or 0.0
+        out = {
+            "metric": "band_dp_gcups",
+            "value": g,
+            "unit": "GCUPS (banded-DP cell updates/s, W=64)",
+            "vs_baseline": round(g / REF_GCUPS, 3),
+            "kernel_gcups_trace": k.get("trace"),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -196,6 +196,24 @@ def revcomp_codes(c: np.ndarray) -> np.ndarray:
     return out
 
 
+def ref_revcomp(mi, rid: int) -> np.ndarray:
+    """Cached reverse complement of reference sequence `rid` — the
+    root loader needs it per chain, and recomputing a multi-Mb
+    revcomp per chain dominated host time (measured 5.3 s of a 21 s
+    E2E run). The cache lives on the index object (works through the
+    ShardedIndex facade too)."""
+    cache = getattr(mi, "_codes_rev", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(mi, "_codes_rev", cache)
+        except (AttributeError, TypeError):
+            return revcomp_codes(np.asarray(mi.codes[rid], np.int8))
+    if rid not in cache:
+        cache[rid] = revcomp_codes(np.asarray(mi.codes[rid], np.int8))
+    return cache[rid]
+
+
 # ---------------------------------------------------------------------------
 # device batch engine
 # ---------------------------------------------------------------------------
@@ -401,14 +419,18 @@ class FillEngine:
     def _trace_device_harvest(self, out, pend):
         from .dp.traceback import TraceResult, _identity
 
+        import jax
+
         sub, W, res_d, rle_d, n_ops_d, n_ent_d, counts_d, bad_d = pend
         p = self.p
         nreal = len(sub)
-        ms = np.asarray(res_d.max_score)
-        mi = np.asarray(res_d.max_i)
-        mj = np.asarray(res_d.max_j)
-        n_ops = np.asarray(n_ops_d[:nreal])
-        n_ent = np.asarray(n_ent_d[:nreal])
+        # one batched materialization for all the small result arrays
+        # (each separate np.asarray pays a full RPC on tunneled links)
+        ms, mi, mj, n_ops, n_ent, counts, bad = jax.device_get(
+            (res_d.max_score, res_d.max_i, res_d.max_j,
+             n_ops_d[:nreal], n_ent_d[:nreal],
+             {k: v[:nreal] for k, v in counts_d.items()},
+             bad_d[:nreal]))
         # RLE entries: only max(n_ent) rows of int16 cross the link
         # (~5x fewer rows and half the bytes of the one-op-per-row
         # encoding — the transfer dominated E2E on tunneled backends)
@@ -417,8 +439,6 @@ class FillEngine:
         # and wrap negative as int16 for len >= 8192
         rle = np.asarray(rle_d[:tmax, :nreal]).view(np.uint16) \
             .astype(np.int32)
-        counts = {k: np.asarray(v[:nreal]) for k, v in counts_d.items()}
-        bad = np.asarray(bad_d[:nreal])
 
         for s, i in enumerate(sub):
             score = int(ms[s])
@@ -536,9 +556,9 @@ class FillEngine:
         for pend in pending:
             self._trace_device_harvest(out, pend)
         for sub, res in pending_plain:
-            ms = np.asarray(res.max_score)
-            mi = np.asarray(res.max_i)
-            mj = np.asarray(res.max_j)
+            import jax
+            ms, mi, mj = jax.device_get((res.max_score, res.max_i,
+                                         res.max_j))
             for s, i in enumerate(sub):
                 out[i] = (int(ms[s]), int(mi[s]), int(mj[s]), None)
         return out
@@ -704,7 +724,7 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int,
             x, y = coords_to_xy(seeds[rsid, 0], seeds[rsid, 2])
             rid = int(seeds[rsid, 1])
             rcodes = np.asarray(mi.codes[rid], np.int8)
-            rrev = revcomp_codes(rcodes)
+            rrev = ref_revcomp(mi, rid)
             rlen = int(mi.lens[rid])
             circ = bool(mi.circular[rid])
             apos = x

@@ -1,0 +1,108 @@
+"""Real-backend kernel parity: run the NON-interpret Pallas fill and
+the device traceback against the XLA fill + host walker on whatever
+accelerator the default environment provides (the axon sitecustomize
+pins the platform before interpreter start, so this must run OUTSIDE
+the pytest process, which forces CPU).
+
+Exit 0 + "TPU_PARITY_OK" on success; exit 3 when only CPU is
+available (callers skip)."""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+
+import jax  # noqa: E402
+
+if jax.default_backend() == "cpu":
+    print("TPU_PARITY_SKIP: cpu backend only")
+    sys.exit(3)
+
+from minialign_tpu.dp import band, dtrace, pallas_fill, traceback  # noqa: E402
+from minialign_tpu.params import ScoreParams  # noqa: E402
+
+
+def mutate(rng, a, wband):
+    out = []
+    drift = 0
+    lim = wband // 2 - 6
+    for ch in a:
+        r = rng.random()
+        if r < 0.10:
+            out.append(rng.integers(0, 4))
+        elif r < 0.15 and drift < lim:
+            out.append(rng.integers(0, 4))
+            out.append(ch)
+            drift += 1
+        elif r < 0.20 and drift > -lim:
+            drift -= 1
+        else:
+            out.append(ch)
+    return np.asarray(out, np.int64)
+
+
+def main():
+    p = ScoreParams(matrix=tuple(2 if (i & 3) == (i >> 2) else -4
+                                 for i in range(16)),
+                    gi=4, ge=2, gfa=3, gfb=3, xdrop=60)
+    W = 64
+    rng = np.random.default_rng(77)
+    # the kernel's lane chunk is 128 problems (FillEngine pads real
+    # batches to that grain; narrower chunks break the trace-DMA tile
+    # alignment) — replicate the padded-batch shape here
+    B = 128
+    seqs_a = [rng.integers(0, 4, int(rng.integers(80, 400)))
+              for _ in range(B)]
+    seqs_b = [mutate(rng, a, W) for a in seqs_a]
+    ab, alen = band.pad_codes(seqs_a)
+    bb, blen = band.pad_codes(seqs_b)
+
+    nb = 36
+    ref_fill = band.make_fill(p, W, max_blocks=nb, trace=True)
+    pal_fill = pallas_fill.make_fill_pallas(p, W, max_blocks=nb,
+                                            trace=True)
+    r1, b1 = ref_fill(ab, alen, bb, blen)
+    r2, b2 = pal_fill(ab, alen, bb, blen)
+    for name, x, y in (("score", r1.max_score, r2.max_score),
+                       ("mi", r1.max_i, r2.max_i),
+                       ("mj", r1.max_j, r2.max_j)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+    nbl = int(np.asarray(r1.n_blocks))
+    np.testing.assert_array_equal(np.asarray(b1.dirs)[:, :nbl],
+                                  np.asarray(b2.dirs)[:, :nbl])
+    np.testing.assert_array_equal(np.asarray(b1.masks)[:, :nbl],
+                                  np.asarray(b2.masks)[:, :nbl])
+
+    # device traceback (on the accelerator) vs the host walker
+    dt = dtrace.make_device_traceback(p, W)
+    rle, n_ops, n_ent, counts, bad = dt(
+        b2.masks, b2.dirs, b2.iheads[:, 0],
+        r2.max_score, r2.max_i, r2.max_j)
+    rle = np.asarray(rle).view(np.uint16).astype(np.int32)
+    n_ent = np.asarray(n_ent)
+    bad = np.asarray(bad)
+    masks = np.asarray(b2.masks)
+    dirs = np.asarray(b2.dirs)
+    iheads = np.asarray(b2.iheads)
+    for k in range(B):
+        want = traceback.traceback_one(
+            p, W, masks[k], dirs[k], iheads[k],
+            int(np.asarray(r2.max_score)[k]),
+            int(np.asarray(r2.max_i)[k]),
+            int(np.asarray(r2.max_j)[k]))
+        if want is None:
+            assert bad[k] == 1, k
+            continue
+        ent = rle[:n_ent[k], k]
+        ops = np.repeat(ent & 3, ent >> 2)
+        fwd = "".join("D" if o == dtrace.OP_D else
+                      "R" if o == dtrace.OP_R else "RD"
+                      for o in ops)[::-1]
+        assert fwd == want.path, k
+    print("TPU_PARITY_OK")
+
+
+if __name__ == "__main__":
+    main()
