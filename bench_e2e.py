@@ -127,6 +127,15 @@ def main():
         prof.disable()
     wall = time.time() - t0
 
+    # optional source/worker/drain overlap demonstration: -t1 wall for
+    # the same workload (the -t4 headline should approach
+    # max(host, device) rather than their sum)
+    t1_wall = None
+    if os.environ.get("BENCH_E2E_COMPARE_T"):
+        t0 = time.time()
+        run_cli(ref_fa, reads_fq, threads=1)
+        t1_wall = time.time() - t0
+
     mbps = total_bases / wall / 1e6
     out = {
         "metric": "e2e_mbases_per_s",
@@ -140,6 +149,8 @@ def main():
         "total_mbases": round(total_bases / 1e6, 2),
         "sam_bytes": sink.n,
     }
+    if t1_wall is not None:
+        out["t1_wall_s"] = round(t1_wall, 2)
     print(json.dumps(out))
     if prof:
         st = pstats.Stats(prof, stream=sys.stderr)

@@ -92,28 +92,19 @@ def test_align_batch_sharded_matches_single(mesh):
             assert a1.aln == a2.aln
 
 
-def test_host_batches_partition_and_merge(tmp_path):
-    """Multi-host partitioning: round-robin batches per host, then the
-    rank-ordered merge reproduces the single-host order exactly."""
-    import io
-
+def test_host_batches_partition():
+    """Multi-host partitioning: round-robin batch ranks cover every
+    batch exactly once across hosts (the full merge — rank order +
+    cross-host stale-rlen chain replay — is exercised end-to-end with
+    two real jax.distributed processes in tests/test_distributed.py)."""
     from minialign_tpu.parallel import distributed as dist
 
     batches = [f"batch{i}" for i in range(11)]
     n_hosts = 3
     seen = {}
-    paths = []
     for h in range(n_hosts):
-        p = tmp_path / f"host{h}.out"
-        with open(p, "w") as f:
-            for rank, b in dist.host_batches(batches, h, n_hosts):
-                assert rank not in seen
-                seen[rank] = h
-                f.write(f"#batch\t{rank}\n{b}-rec1\n{b}-rec2\n")
-        paths.append(str(p))
+        for rank, b in dist.host_batches(batches, h, n_hosts):
+            assert rank not in seen
+            assert batches[rank] == b
+            seen[rank] = h
     assert sorted(seen) == list(range(11))
-
-    out = io.StringIO()
-    dist.merge_host_outputs(paths, out)
-    want = "".join(f"{b}-rec1\n{b}-rec2\n" for b in batches)
-    assert out.getvalue() == want
