@@ -111,6 +111,8 @@ def e2e_rate():
 
 
 def main():
+    from minialign_tpu.native import tune_malloc
+    tune_malloc()
     k = kernel_rates()
     try:
         e = e2e_rate()

@@ -107,6 +107,8 @@ def run_cli(ref_fa, reads_fq, threads=4):
 
 
 def main():
+    from minialign_tpu.native import tune_malloc
+    tune_malloc()
     profile = "--profile" in sys.argv
     ref_fa, reads_fq = make_workload()
     total_bases = sum(

@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    from minialign_tpu.native import tune_malloc
+    tune_malloc()
     gb = 1.0
     if "--gb" in sys.argv:
         gb = float(sys.argv[sys.argv.index("--gb") + 1])

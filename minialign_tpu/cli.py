@@ -695,6 +695,8 @@ def main(argv=None) -> int:
                           "1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES",
                           "-1")
+    from . import native as _native
+    _native.tune_malloc()
     argv = list(sys.argv[1:] if argv is None else argv)
     o = Opts(arg_line="minialign-tpu " + " ".join(argv))
     parse_argv(o, argv)

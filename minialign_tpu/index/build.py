@@ -141,7 +141,10 @@ def build_index(params: IndexParams, names: Sequence[str],
 
     hs, ps, rs = [], [], []
     for sid, c in enumerate(codes):
-        arr = np.asarray(c, np.int64) & 3
+        # int8 all the way to the sketcher: the int64 widening cost 8x
+        # the bytes for nothing (the native sketch takes int8; the
+        # numpy fallback widens internally)
+        arr = np.asarray(c, np.int8) & 3
         if circ[sid]:
             # circular "nori-shiro" tail wrap (mm_sketch_cap,
             # minialign.c:2436-2443 via mm_idx_worker:2795-2797): the
@@ -184,17 +187,21 @@ def build_index(params: IndexParams, names: Sequence[str],
             hrem = (hb[s0:s1] >> np.uint64(b))
             final[s0:s1] = s0 + ks_radix128(hrem)
         order = border[final] if len(h) else final
-    h, pos, rid = h[order], pos[order], rid[order]
 
     # equal-h runs are contiguous within a bucket; re-lay the runs out
     # in key-ascending order (each run keeps its internal ksort order)
-    # so the CSR binary-search lookup applies unchanged
+    # so the CSR binary-search lookup applies unchanged. All gathers
+    # compose into ONE permutation per payload array (bucket order ∘
+    # run re-layout) — each avoided materialization is ~GBs at genome
+    # scale.
     if len(h):
-        runs = np.flatnonzero(np.diff(h.view(np.int64))) + 1
+        hb2 = h[order]
+        runs = np.flatnonzero(hb2[1:] != hb2[:-1]) + 1
         run_start = np.concatenate([[0], runs]).astype(np.int64)
         run_len = np.diff(np.concatenate(
             [run_start, [len(h)]])).astype(np.int64)
-        run_h = h[run_start]
+        run_h = hb2[run_start]
+        del hb2
         korder = np.argsort(run_h, kind="stable")
         # vectorized run re-layout (a per-run Python comprehension here
         # allocated ~1 small array per distinct k-mer — hours at Gb
@@ -205,8 +212,10 @@ def build_index(params: IndexParams, names: Sequence[str],
         gather = np.repeat(st2, ln2) + (
             np.arange(tot, dtype=np.int64)
             - np.repeat(np.cumsum(ln2) - ln2, ln2))
-        h, pos, rid = h[gather], pos[gather], rid[gather]
+        final_perm = order[gather]
         del gather
+        h, pos, rid = h[final_perm], pos[final_perm], rid[final_perm]
+        del final_perm
         keys = run_h[korder]
         counts = ln2
         offsets = np.zeros(len(keys) + 1, np.int64)

@@ -112,6 +112,8 @@ def sketch(codes: np.ndarray, k: int, w: int):
         r = native.sketch_seq(codes, k, w)
         if r is not None:
             return r
+    # the numpy fallback's k-mer bit math needs int64 codes
+    codes = np.asarray(codes, np.int64)
     h, strand = hash_stream(codes, k)
     n = len(h)
     if n == 0:

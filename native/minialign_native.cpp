@@ -490,8 +490,12 @@ static inline uint64_t crc32c_u64(uint64_t crc, uint64_t val) {
 
 // codes: (L,) 2-bit codes. Emits (hash, pos, strand) minimizer
 // occurrences; returns the count. Output buffers sized >= L.
+// cap: output capacity; returns -1 when it would overflow (the caller
+// retries with a bigger buffer — lets callers allocate ~L/4 instead of
+// L-sized outputs, which matters on lazily-backed hosts where fresh
+// page faults are ~1000x slower than touched memory; see PERF_NOTES)
 int64_t sketch_seq(const int8_t* codes, int64_t L, int32_t k, int32_t w,
-                   uint64_t* out_h, int64_t* out_pos,
+                   int64_t cap, uint64_t* out_h, int64_t* out_pos,
                    uint8_t* out_strand) {
   crc_init();
   int64_t n = L - k + 1;
@@ -526,6 +530,7 @@ int64_t sketch_seq(const int8_t* codes, int64_t L, int32_t k, int32_t w,
     bool emit = (vmin != prev) || (vmin == v);
     int64_t pos = (vmin == v) ? p : pos_min;
     if (emit) {
+      if (cnt >= cap) return -1;
       out_h[cnt] = vmin >> 8;
       out_pos[cnt] = pos;
       out_strand[cnt] = (uint8_t)((vmin >> 7) & 1);
