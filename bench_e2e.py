@@ -93,7 +93,11 @@ class _Sink(io.TextIOBase):
         return len(s)
 
 
-def run_cli(ref_fa, reads_fq, threads=4):
+def run_cli(ref_fa, reads_fq, threads=None):
+    if threads is None:
+        # the source/worker/drain overlap needs real cores; on a
+        # 1-core host the extra threads only add contention
+        threads = min(4, os.cpu_count() or 1)
     from minialign_tpu import cli
     sink = _Sink()
     old = sys.stdout

@@ -67,11 +67,12 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     the launch (the reference's fill_bulk_block vs fill_cap split,
     gaba.c:1821/1925), making bulk bit-identical where selected.
 
-    Band characters ride PACKED as one int32 array P = (ach << 3) |
-    bch (codes are 3-bit: 0-3 bases + 4 = N/pad): halves the char
-    register footprint vs two int32 arrays — the fori carry is right
-    at the v5e vector-register-file cliff, where every array matters
-    (round-2 ablations: single-line removals swing ~3x)."""
+    Band characters ride PACKED as one (W/2, B) int32 array: row r
+    carries lane r's (ach << 3 | bch) in bits[5:0] and lane (r+W/2)'s
+    in bits[21:16] (codes are 3-bit: 0-3 bases + 4 = N/pad). That is
+    a quarter of the register footprint of two (W, B) int32 char
+    arrays — the fori carry sits at the v5e vector-register-file
+    boundary, where every array matters (round-2 ablations)."""
     floor = score_floor(p)
     gi, ge = p.gi, p.ge
     gfa, gfb = p.gfa_eff, p.gfb_eff
@@ -107,32 +108,56 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     Sdiag = jnp.where(sh == 1, roll_q(Sp, 1, floor),
                       jnp.where(sh == -1, roll_q(Sp, -1, floor), Sp))
 
-    # down: b-side chars roll up one lane, bnext enters at the bottom;
-    # right: a-side chars roll down, anext enters at the top
-    P_dn = (P & ~7) | jnp.concatenate([P[1:] & 7, bnext], axis=0)
-    P_rt = jnp.concatenate([(anext << 3), P[:-1] & ~7], axis=0) \
-        | (P & 7)
-    P_new = jnp.where(d, P_dn, P_rt)
-    ach_new = P_new >> 3
-    bch_new = P_new & 7
+    # Chars ride 2-lanes-per-int32: row r of the (W/2, B) array P
+    # holds lane r in bits[5:0] and lane r+W/2 in bits[21:16] (each
+    # field (ach << 3) | bch). Both per-step char movements stay pure
+    # ROW rolls in this layout — only the seam row (the lane-W/2
+    # boundary) needs a (1, B) fix — and the unpack for the
+    # substitution score is a cheap aligned sublane concat. Halves the
+    # char register footprint and roll traffic vs a (W, B) array.
+    H = W // 2
+    ACH_M = (56 << 16) | 56           # ach fields of both halves
+    BCH_M = (7 << 16) | 7             # bch fields
+    # down: b-chars roll up one lane; lane H-1 takes lane H's bch
+    # (= row 0's high field), lane W-1 takes bnext
+    seam_dn = ((P[0:1] >> 16) & 7) | (bnext << 16)
+    P_up = jnp.concatenate([P[1:], seam_dn], axis=0)
+    P_dn_v = (P & ACH_M) | (P_up & BCH_M)
+    # right: a-chars roll down; lane 0 takes anext, lane H takes lane
+    # H-1's ach (= row H-1's low field)
+    seam_up = (anext << 3) | ((P[H - 1:H] & 56) << 16)
+    P_dnr = jnp.concatenate([seam_up, P[:-1]], axis=0)
+    P_rt_v = (P & BCH_M) | (P_dnr & ACH_M)
+    P_new = jnp.where(d, P_dn_v, P_rt_v)
 
     # substitution score without a table gather (no pshufb on TPU):
-    # uniform matrices (every preset) need 3 selects; -e-modified
-    # matrices fall back to a 16-term select chain.
+    # computed per packed half, then one aligned concat to (W, B).
+    # Uniform matrices (every preset) need 2 selects per half;
+    # -e-modified matrices fall back to a 16-term select chain.
     mat = p.matrix44()
     n_sub = -2 * (gi + ge)
-    is_n = (ach_new >= 4) | (bch_new >= 4)
+    al, bl = (P_new >> 3) & 7, P_new & 7
+    ah, bh = (P_new >> 19) & 7, (P_new >> 16) & 7
+    # code 4 (N/pad) has bit 2 set: field tests are single mask-cmps
+    n_l = (P_new & 0x24) != 0
+    n_h = (P_new & 0x240000) != 0
     if len(set(np.diag(mat).tolist())) == 1 and \
             len(set(mat[~np.eye(4, dtype=bool)].tolist())) == 1:
         m_, x_ = int(mat[0, 0]), int(mat[0, 1])
-        subsc = jnp.where(ach_new == bch_new, m_, x_)
+        sub_l = jnp.where(al == bl, m_, x_)
+        sub_h = jnp.where(ah == bh, m_, x_)
     else:
-        subsc = jnp.zeros_like(S)
+        sub_l = jnp.zeros_like(al)
+        sub_h = jnp.zeros_like(ah)
         for y in range(4):
             for x in range(4):
-                subsc = jnp.where((ach_new == x) & (bch_new == y),
-                                  int(mat[y, x]), subsc)
-    subsc = jnp.where(is_n, n_sub, subsc)
+                sub_l = jnp.where((al == x) & (bl == y),
+                                  int(mat[y, x]), sub_l)
+                sub_h = jnp.where((ah == x) & (bh == y),
+                                  int(mat[y, x]), sub_h)
+    sub_l = jnp.where(n_l, n_sub, sub_l)
+    sub_h = jnp.where(n_h, n_sub, sub_h)
+    subsc = jnp.concatenate([sub_l, sub_h], axis=0)
 
     S_new = jnp.maximum(
         Sdiag + subsc,
@@ -541,9 +566,11 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         Sp = st0["Sp"].T
         E = st0["E"].T
         F = st0["F"].T
-        # band chars packed (achar << 3) | bchar — see _step_t
-        P = (st0["achar"].T.astype(jnp.int32) << 3) \
+        # band chars packed 2-lanes-per-int32 — see _step_t
+        H = W // 2
+        pk_full = (st0["achar"].T.astype(jnp.int32) << 3) \
             | st0["bchar"].T.astype(jnp.int32)
+        P = pk_full[:H] | (pk_full[H:] << 16)
         sc = jnp.zeros((NROWS, B), jnp.int32)
         sc = sc.at[R_IHEAD].set(st0["ihead"])
         plim = jnp.minimum(alen + blen + 2 * TAIL_N,
@@ -567,10 +594,11 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # Sp
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # E
             jax.ShapeDtypeStruct((W, B), jnp.int32),   # F
-            jax.ShapeDtypeStruct((W, B), jnp.int32),   # P (packed chars)
+            jax.ShapeDtypeStruct((W // 2, B), jnp.int32),  # P (chars)
             jax.ShapeDtypeStruct((NROWS, B), jnp.int32),  # scalar rows
         ]
-        state_specs = [chunked((W, B))] * 5 + [chunked((NROWS, B))]
+        state_specs = [chunked((W, B))] * 4 \
+            + [chunked((W // 2, B)), chunked((NROWS, B))]
         in_specs = [chunked((LAp, B)), chunked((LBp, B))] + state_specs
         # scratch must fit the largest extraction at either level
         win = max(SUPL if (tlA or tlB) else SL, SL)
