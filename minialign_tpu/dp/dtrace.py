@@ -10,11 +10,11 @@ when the folded bit (gh & ~gfh) | open_next is clear, else an affine
 run continuing while NOT (h == 0 and e == 1) at each arrived cell.
 
 Run-length emission (round-2): each while-loop iteration emits ONE
-int16 entry `op | count << 2` per live problem instead of one op:
+int8 entry `op | count << 2` per live problem instead of one op:
 
-  * boundary drains (i==0 / j==0) emit the whole remaining run in one
-    entry (split only past the 16383 length cap, phases 3/4 guard the
-    one-time pricing);
+  * boundary drains (i==0 / j==0) emit the remaining run in 63-op
+    entries (the int8 length cap; phases 3/4 guard the one-time
+    pricing across split entries);
   * diagonal and affine-gap runs are chunked CHAIN probes deep: the
     iteration walks up to CHAIN cells of the run, probing each arrived
     cell's masks, and emits the run prefix as one entry; a still-live
@@ -39,12 +39,12 @@ from .band import BLK, M_E, M_EO, M_F, M_FO, M_GFA, M_GFB
 
 OP_PAD, OP_D, OP_R, OP_X = 0, 1, 2, 3
 CHAIN = 8             # probe depth per iteration for diag/gap runs
-LEN_CAP = (1 << 14) - 1   # int16 entry: op | len << 2
+LEN_CAP = 63              # int8 entry: op | len << 2
 
 
 def make_device_traceback(p: ScoreParams, W: int):
     """Returns jit fn(masks, dirs, iheads0, score, ai, bj) ->
-    (rle (T, B) int16 backward run entries, n_ops (B,) total op count,
+    (rle (T, B) int8 backward run entries, n_ops (B,) total op count,
     counts dict, status (B,) 0 ok / 1 out-of-band). masks:
     (B, NB, BLK, 6, 2) uint32, dirs: (B, NB) uint32, as produced by
     the fill (already moveaxis'd); T = NB*BLK + 2 entries worst case
@@ -121,7 +121,7 @@ def make_device_traceback(p: ScoreParams, W: int):
         q0 = ihead_pp0 - i0
         bad0 = (~empty) & ((q0 < 0) | (q0 >= W))
 
-        rle0 = jnp.zeros((T, B), jnp.int16)
+        rle0 = jnp.zeros((T, B), jnp.int8)
         counts0 = {k: jnp.zeros(B, jnp.int32) for k in
                    ("dcnt", "agcnt", "bgcnt", "n_open", "n_ext",
                     "gf_pen", "e_pen")}
@@ -243,7 +243,7 @@ def make_device_traceback(p: ScoreParams, W: int):
                                                        jnp.int32))))
             emit = live & (length > 0)
             entry = jnp.where(emit, op | (length << 2), 0).astype(
-                jnp.int16)
+                jnp.int8)
             rle = jax.lax.dynamic_update_index_in_dim(
                 st["rle"], entry, st["t"], axis=0)
 
@@ -320,9 +320,9 @@ def make_device_traceback(p: ScoreParams, W: int):
         st = jax.lax.while_loop(cond, body, state0)
         counts = {k: st[k] for k in ("dcnt", "agcnt", "bgcnt", "n_open",
                                      "n_ext", "gf_pen", "e_pen")}
-        # int16 entries are bit-packed (op | len << 2) and may wrap
-        # negative; widen via uint16 to recover the length field
-        n_ops = jnp.sum((st["rle"].astype(jnp.uint16)
+        # int8 entries are bit-packed (op | len << 2) and may wrap
+        # negative; widen via uint8 to recover the length field
+        n_ops = jnp.sum((st["rle"].astype(jnp.uint8)
                          .astype(jnp.int32) >> 2),
                         axis=0).astype(jnp.int32)
         n_ent = jnp.sum(st["rle"] != 0, axis=0).astype(jnp.int32)

@@ -271,6 +271,26 @@ class FillEngine:
         approx = (pa + pb + 2 * max(pa, pb) // 2) * 128
         return approx < 80 * 1024 * 1024
 
+    def _dispatch_buf(self, side, shape) -> np.ndarray:
+        """NCODE-filled host staging buffer for one dispatch, pooled
+        per (side, shape) on accelerator backends: a fresh np.full per
+        dispatch repaid the lazily-backed-VM page-fault cost every time
+        (measured ~60 ms per 33 MB buffer, see native.tune_malloc).
+        Safe to reuse because accelerator backends copy the host array
+        at dispatch; the CPU backend may alias numpy memory, so it
+        keeps fresh allocations. The side key keeps the a/b buffers of
+        one dispatch distinct when their shapes coincide."""
+        if not self.use_pallas:
+            return np.full(shape, band.NCODE, np.int8)
+        pool = getattr(self, "_bufpool", None)
+        if pool is None:
+            pool = self._bufpool = {}
+        buf = pool.get((side, shape))
+        if buf is None:
+            buf = pool[(side, shape)] = np.empty(shape, np.int8)
+        buf.fill(band.NCODE)
+        return buf
+
     def _fn(self, W, la, lb, trace):
         nb = (la + lb + 2 * band.TAIL_N) // band.BLK + 2
         key = (W, la, lb, trace)
@@ -394,9 +414,11 @@ class FillEngine:
         arr = self._gather_fn(L)(flat, base, start, cap, seglen, wrap)
         return arr, elen
 
-    _OPS_FWD = np.array(["", "D", "R", "RD"])
-    _OPS_REV = np.array(["", "D", "R", "DR"])
-    _OPS_TOK = np.array(["", "D", "R", "X"])
+    # byte LUTs for op-code -> path-string builds (op 3 = diagonal is
+    # two chars: "RD" backward / "DR" in rev-token order)
+    _LUT_FWD1 = np.frombuffer(b"\0DRR", np.uint8)
+    _LUT_REV1 = np.frombuffer(b"\0DRD", np.uint8)
+    _LUT_TOK = np.frombuffer(b"\0DRX", np.uint8)
 
     def _trace_device_dispatch(self, sub, W, res_d, bufs):
         """TPU trace path, dispatch half: the mask walk runs ON DEVICE
@@ -431,13 +453,13 @@ class FillEngine:
              n_ops_d[:nreal], n_ent_d[:nreal],
              {k: v[:nreal] for k, v in counts_d.items()},
              bad_d[:nreal]))
-        # RLE entries: only max(n_ent) rows of int16 cross the link
-        # (~5x fewer rows and half the bytes of the one-op-per-row
+        # RLE entries: only max(n_ent) rows of int8 cross the link
+        # (~5x fewer rows at 1/2-1/4 the bytes of the one-op-per-row
         # encoding — the transfer dominated E2E on tunneled backends)
         tmax = int(n_ent.max()) if nreal else 0
-        # uint16 view first: entries are bit-packed (op | len << 2)
-        # and wrap negative as int16 for len >= 8192
-        rle = np.asarray(rle_d[:tmax, :nreal]).view(np.uint16) \
+        # uint8 view first: entries are bit-packed (op | len << 2)
+        # and wrap negative as int8 for len >= 32
+        rle = np.asarray(rle_d[:tmax, :nreal]).view(np.uint8) \
             .astype(np.int32)
 
         for s, i in enumerate(sub):
@@ -452,9 +474,19 @@ class FillEngine:
             else:
                 ent = rle[:n_ent[s], s]
                 col = np.repeat(ent & 3, ent >> 2)
-                path = "".join(self._OPS_FWD[col])[::-1]
-                path_rev = "".join(self._OPS_REV[col])
-                ops_rev = "".join(self._OPS_TOK[col])
+                # byte-LUT string builds (a join of 10k 1-2 char
+                # strings per alignment measured 7.5 s/500 reads)
+                widths = np.where(col == 3, 2, 1)
+                starts = np.cumsum(widths) - widths
+                total = int(starts[-1] + widths[-1]) if len(col) else 0
+                bf = np.empty(total, np.uint8)
+                bf[starts] = self._LUT_FWD1[col]
+                bf[starts[col == 3] + 1] = ord("D")
+                path = bytes(bf[::-1]).decode()
+                bf[starts] = self._LUT_REV1[col]
+                bf[starts[col == 3] + 1] = ord("R")
+                path_rev = bytes(bf).decode()
+                ops_rev = bytes(self._LUT_TOK[col]).decode()
                 dcnt = int(counts["dcnt"][s])
                 gap_penalty = (int(counts["n_open"][s]) * p.gi
                                + int(counts["n_ext"][s]) * p.ge
@@ -512,8 +544,8 @@ class FillEngine:
                     alen = np.asarray(alen, np.int32)
                     blen = np.asarray(blen, np.int32)
                 else:
-                    ab = np.full((B, la), band.NCODE, np.int8)
-                    bb = np.full((B, lb), band.NCODE, np.int8)
+                    ab = self._dispatch_buf("a", (B, la))
+                    bb = self._dispatch_buf("b", (B, lb))
                     alen = np.zeros(B, np.int32)
                     blen = np.zeros(B, np.int32)
                     for s, i in enumerate(sub):

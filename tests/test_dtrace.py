@@ -11,7 +11,7 @@ from minialign_tpu.params import ScoreParams
 def _expand(rle_col):
     """Backward RLE entries (op | len << 2) -> (path, path_rev) like
     the host walker."""
-    ent = np.asarray(rle_col).view(np.uint16).astype(np.int32)
+    ent = np.asarray(rle_col).view(np.uint8).astype(np.int32)
     ops = np.repeat(ent & 3, ent >> 2)
     fwd, rev = [], []
     for o in ops:

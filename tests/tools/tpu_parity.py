@@ -80,7 +80,7 @@ def main():
     rle, n_ops, n_ent, counts, bad = dt(
         b2.masks, b2.dirs, b2.iheads[:, 0],
         r2.max_score, r2.max_i, r2.max_j)
-    rle = np.asarray(rle).view(np.uint16).astype(np.int32)
+    rle = np.asarray(rle).view(np.uint8).astype(np.int32)
     n_ent = np.asarray(n_ent)
     bad = np.asarray(bad)
     masks = np.asarray(b2.masks)
