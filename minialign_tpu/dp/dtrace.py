@@ -40,15 +40,20 @@ from .band import BLK, M_E, M_EO, M_F, M_FO, M_GFA, M_GFB
 OP_PAD, OP_D, OP_R, OP_X = 0, 1, 2, 3
 CHAIN = 8             # probe depth per iteration for diag/gap runs
 LEN_CAP = 63              # int8 entry: op | len << 2
+# rows of the (13, B) summary array returned next to the rle entries
+SUMMARY_ROWS = ("n_ops", "n_ent", "bad", "dcnt", "agcnt", "bgcnt",
+                "n_open", "n_ext", "gf_pen", "e_pen",
+                "score", "ai", "bj")
 
 
 def make_device_traceback(p: ScoreParams, W: int):
     """Returns jit fn(masks, dirs, iheads0, score, ai, bj) ->
-    (rle (T, B) int8 backward run entries, n_ops (B,) total op count,
-    counts dict, status (B,) 0 ok / 1 out-of-band). masks:
-    (B, NB, BLK, 6, 2) uint32, dirs: (B, NB) uint32, as produced by
-    the fill (already moveaxis'd); T = NB*BLK + 2 entries worst case
-    (every entry carries >= 1 op)."""
+    (rle (T, B) int8 backward run entries, summary (10, B) int32 with
+    rows SUMMARY_ROWS — op/entry counts, out-of-band status, and the
+    walk counters packed into one array so the host pays ONE transfer).
+    masks: (B, NB, BLK, 6, 2) uint32, dirs: (B, NB) uint32, as
+    produced by the fill (already moveaxis'd); T = NB*BLK + 2 entries
+    worst case (every entry carries >= 1 op)."""
     gi, ge = p.gi, p.ge
     gfa_eff, gfb_eff = p.gfa_eff, p.gfb_eff
     model = p.model
@@ -318,15 +323,22 @@ def make_device_traceback(p: ScoreParams, W: int):
                         t=st["t"] + 1, rle=rle, **c)
 
         st = jax.lax.while_loop(cond, body, state0)
-        counts = {k: st[k] for k in ("dcnt", "agcnt", "bgcnt", "n_open",
-                                     "n_ext", "gf_pen", "e_pen")}
         # int8 entries are bit-packed (op | len << 2) and may wrap
         # negative; widen via uint8 to recover the length field
         n_ops = jnp.sum((st["rle"].astype(jnp.uint8)
                          .astype(jnp.int32) >> 2),
                         axis=0).astype(jnp.int32)
         n_ent = jnp.sum(st["rle"] != 0, axis=0).astype(jnp.int32)
-        return st["rle"], n_ops, n_ent, counts, \
-            st["bad"].astype(jnp.int32)
+        # every scalar-per-problem result rides in ONE (13, B) summary
+        # array: each separately-materialized device array pays a full
+        # RPC round trip on tunneled backends (rows: SUMMARY_ROWS;
+        # the fill's score/max position come along for free)
+        summary = jnp.stack(
+            [n_ops, n_ent, st["bad"].astype(jnp.int32),
+             st["dcnt"], st["agcnt"], st["bgcnt"], st["n_open"],
+             st["n_ext"], st["gf_pen"], st["e_pen"],
+             score.astype(jnp.int32), ai.astype(jnp.int32),
+             bj.astype(jnp.int32)])
+        return st["rle"], summary
 
     return run

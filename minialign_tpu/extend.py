@@ -432,27 +432,25 @@ class FillEngine:
         if key not in self._fns:
             self._fns[key] = make_device_traceback(self.p, W)
         dt = self._fns[key]
-        rle_d, n_ops_d, n_ent_d, counts_d, bad_d = dt(
+        rle_d, summary_d = dt(
             bufs.masks, bufs.dirs, bufs.iheads[:, 0],
             res_d.max_score, res_d.max_i, res_d.max_j)
-        return (sub, W, res_d, rle_d, n_ops_d, n_ent_d, counts_d,
-                bad_d)
+        return (sub, W, rle_d, summary_d)
 
     def _trace_device_harvest(self, out, pend):
+        from .dp.dtrace import SUMMARY_ROWS
         from .dp.traceback import TraceResult, _identity
 
-        import jax
-
-        sub, W, res_d, rle_d, n_ops_d, n_ent_d, counts_d, bad_d = pend
+        sub, W, rle_d, summary_d = pend
         p = self.p
         nreal = len(sub)
-        # one batched materialization for all the small result arrays
-        # (each separate np.asarray pays a full RPC on tunneled links)
-        ms, mi, mj, n_ops, n_ent, counts, bad = jax.device_get(
-            (res_d.max_score, res_d.max_i, res_d.max_j,
-             n_ops_d[:nreal], n_ent_d[:nreal],
-             {k: v[:nreal] for k, v in counts_d.items()},
-             bad_d[:nreal]))
+        # ONE transfer for every per-problem scalar (each separate
+        # materialization pays a full RPC on tunneled links)
+        summ = np.asarray(summary_d)[:, :nreal]
+        row = dict(zip(SUMMARY_ROWS, summ))
+        ms, mi, mj = row["score"], row["ai"], row["bj"]
+        n_ent, bad = row["n_ent"], row["bad"]
+        counts = row
         # RLE entries: only max(n_ent) rows of int8 cross the link
         # (~5x fewer rows at 1/2-1/4 the bytes of the one-op-per-row
         # encoding — the transfer dominated E2E on tunneled backends)
@@ -588,9 +586,12 @@ class FillEngine:
         for pend in pending:
             self._trace_device_harvest(out, pend)
         for sub, res in pending_plain:
-            import jax
-            ms, mi, mj = jax.device_get((res.max_score, res.max_i,
-                                         res.max_j))
+            # one stacked transfer: separate materializations each pay
+            # a full RPC on tunneled links
+            import jax.numpy as jnp
+            smm = np.asarray(jnp.stack(
+                [res.max_score, res.max_i, res.max_j]))
+            ms, mi, mj = smm[0], smm[1], smm[2]
             for s, i in enumerate(sub):
                 out[i] = (int(ms[s]), int(mi[s]), int(mj[s]), None)
         return out

@@ -24,6 +24,7 @@ _SO = os.path.join(_NATIVE_DIR, "libminialign_native.so")
 _lib = None
 _tried = False
 _malloc_tuned = False
+_sketch_scratch: dict = {}
 
 
 def tune_malloc() -> bool:
@@ -269,16 +270,22 @@ def sketch_seq(codes: np.ndarray, k: int, w: int):
     L = len(c)
     # emission density is ~2/(w+1); start with 4x headroom and retry
     # on overflow — L-sized outputs cost real time on lazily-backed
-    # hosts (fresh page faults, see tune_malloc)
+    # hosts (fresh page faults, see tune_malloc). Reuse one scratch
+    # set across calls (grow-only; callers get copies).
     cap = max(min(L, 8 * L // w + 1024), 16)
+    scr = _sketch_scratch
     while True:
-        h = np.empty(cap, np.uint64)
-        pos = np.empty(cap, np.int64)
-        st = np.empty(cap, np.uint8)
-        n = lib.sketch_seq(c, L, k, w, cap, h, pos, st)
+        if scr.get("cap", 0) < cap:
+            scr["h"] = np.empty(cap, np.uint64)
+            scr["pos"] = np.empty(cap, np.int64)
+            scr["st"] = np.empty(cap, np.uint8)
+            scr["cap"] = cap
+        n = lib.sketch_seq(c, L, k, w, scr["cap"], scr["h"],
+                           scr["pos"], scr["st"])
         if n >= 0:
-            return h[:n], pos[:n], st[:n]
-        cap = min(max(L, 1), cap * 4)
+            return (scr["h"][:n].copy(), scr["pos"][:n].copy(),
+                    scr["st"][:n].copy())
+        cap = min(max(L, 1), scr["cap"] * 4)
 
 
 def _bind_chain(lib):

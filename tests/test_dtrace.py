@@ -59,15 +59,12 @@ def test_device_traceback_matches_host(pname):
     res = type(res)(*(np.asarray(x) for x in res))
 
     dt = dtrace.make_device_traceback(p, W)
-    rle, n_ops, n_ent, counts, bad = dt(bufs.masks, bufs.dirs,
-                                        bufs.iheads[:, 0],
-                                        res.max_score, res.max_i,
-                                        res.max_j)
+    rle, summary = dt(bufs.masks, bufs.dirs, bufs.iheads[:, 0],
+                      res.max_score, res.max_i, res.max_j)
     rle = np.asarray(rle)
-    n_ops = np.asarray(n_ops)
-    n_ent = np.asarray(n_ent)
-    counts = {k: np.asarray(v) for k, v in counts.items()}
-    bad = np.asarray(bad)
+    row = dict(zip(dtrace.SUMMARY_ROWS, np.asarray(summary)))
+    n_ops, n_ent, bad = row["n_ops"], row["n_ent"], row["bad"]
+    counts = row
 
     masks = np.asarray(bufs.masks)
     dirs = np.asarray(bufs.dirs)

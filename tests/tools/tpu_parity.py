@@ -77,12 +77,12 @@ def main():
 
     # device traceback (on the accelerator) vs the host walker
     dt = dtrace.make_device_traceback(p, W)
-    rle, n_ops, n_ent, counts, bad = dt(
+    rle, summary = dt(
         b2.masks, b2.dirs, b2.iheads[:, 0],
         r2.max_score, r2.max_i, r2.max_j)
     rle = np.asarray(rle).view(np.uint8).astype(np.int32)
-    n_ent = np.asarray(n_ent)
-    bad = np.asarray(bad)
+    row = dict(zip(dtrace.SUMMARY_ROWS, np.asarray(summary)))
+    n_ent, bad = row["n_ent"], row["bad"]
     masks = np.asarray(b2.masks)
     dirs = np.asarray(b2.dirs)
     iheads = np.asarray(b2.iheads)
