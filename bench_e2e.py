@@ -93,11 +93,25 @@ class _Sink(io.TextIOBase):
         return len(s)
 
 
+def prebuild_index(ref_fa):
+    """Build the .mai once per workload (the reference's production
+    flow: 'prebuilt .mai saves ~1 min/run', README.md:23). Enabled
+    with BENCH_E2E_PREBUILT=1; default measures inline indexing."""
+    mai = ref_fa[:-3] + ".mai.npz"
+    if not os.path.exists(mai):
+        from minialign_tpu import cli
+        rc = cli.main(["-d", mai[:-4], ref_fa])
+        assert rc == 0
+    return mai
+
+
 def run_cli(ref_fa, reads_fq, threads=None):
     if threads is None:
         # the source/worker/drain overlap needs real cores; on a
         # 1-core host the extra threads only add contention
         threads = min(4, os.cpu_count() or 1)
+    if os.environ.get("BENCH_E2E_PREBUILT"):
+        ref_fa = prebuild_index(ref_fa)
     from minialign_tpu import cli
     sink = _Sink()
     old = sys.stdout
