@@ -224,6 +224,7 @@ def ref_revcomp(mi, rid: int) -> np.ndarray:
 # ~105 s of a 204 s "warm" bench_e2e run on the tunneled backend,
 # whose remote compile bypasses JAX's persistent cache)
 _FN_CACHE: dict = {}
+_BUF_POOL: dict = {}
 
 
 def _score_key(p: ScoreParams):
@@ -282,12 +283,11 @@ class FillEngine:
         one dispatch distinct when their shapes coincide."""
         if not self.use_pallas:
             return np.full(shape, band.NCODE, np.int8)
-        pool = getattr(self, "_bufpool", None)
-        if pool is None:
-            pool = self._bufpool = {}
-        buf = pool.get((side, shape))
+        # process-global like _FN_CACHE: engines are per-CLI-call and a
+        # per-engine pool would re-pay the first-touch faults each run
+        buf = _BUF_POOL.get((side, shape))
         if buf is None:
-            buf = pool[(side, shape)] = np.empty(shape, np.int8)
+            buf = _BUF_POOL[(side, shape)] = np.empty(shape, np.int8)
         buf.fill(band.NCODE)
         return buf
 
