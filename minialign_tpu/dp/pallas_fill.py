@@ -517,10 +517,16 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
 
 
 def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
-                     interpret: bool = False, K: int = 4):
+                     interpret: bool = False, K: int = 4,
+                     packed_io: bool = False):
     """Pallas-backed drop-in for band.make_fill: same signature and
     semantics, (B, LA)/(B, LB) int8 inputs. The entire adaptive-banded
-    fill runs as ONE kernel launch (see _make_fill_kernel)."""
+    fill runs as ONE kernel launch (see _make_fill_kernel).
+
+    With packed_io=True the char inputs arrive 4-bit packed (two codes
+    per byte, (B, L/2) int8) and are unpacked on device: host->device
+    argument upload is a dominant dispatch cost on tunneled backends,
+    and codes only need 3 bits."""
     p.check()
     K = max(1, min(K, max_blocks))
     n_seg = -(-max_blocks // K)
@@ -528,6 +534,14 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
     SL = K * BLK
 
     def fill(a, alen, b, blen):
+        if packed_io:
+            # low nibble = even position, high nibble = odd (packed
+            # nibbles are 0-4, so the int8 byte stays non-negative and
+            # the arithmetic shift is exact)
+            a = jnp.stack([a & 15, a >> 4], axis=-1) \
+                .reshape(a.shape[0], 2 * a.shape[1])
+            b = jnp.stack([b & 15, b >> 4], axis=-1) \
+                .reshape(b.shape[0], 2 * b.shape[1])
         B0, LA = a.shape
         LB = b.shape[1]
         # batch chunking: the kernel runs one 128-lane chunk per grid

@@ -292,17 +292,24 @@ class FillEngine:
         return buf
 
     def _fn(self, W, la, lb, trace):
+        """Returns (fill_fn, packed_io): packed_io means the fn takes
+        4-bit-packed char inputs (the pallas path; halves the
+        host->device argument upload, a dominant dispatch cost on
+        tunneled backends)."""
         nb = (la + lb + 2 * band.TAIL_N) // band.BLK + 2
         key = (W, la, lb, trace)
         if key not in self._fns:
             if self.use_pallas and self._pallas_vmem_ok(la, lb):
                 from .dp.pallas_fill import make_fill_pallas
-                self._fns[key] = make_fill_pallas(self.p, W,
-                                                  max_blocks=nb,
-                                                  trace=trace)
+                self._fns[key] = (make_fill_pallas(self.p, W,
+                                                   max_blocks=nb,
+                                                   trace=trace,
+                                                   packed_io=True),
+                                  True)
             else:
-                self._fns[key] = band.make_fill(self.p, W, max_blocks=nb,
-                                                trace=trace)
+                self._fns[key] = (band.make_fill(self.p, W,
+                                                 max_blocks=nb,
+                                                 trace=trace), False)
         return self._fns[key]
 
     # ------------------------------------------------------------------
@@ -522,7 +529,7 @@ class FillEngine:
             lb = self._bucket(rb + band.TAIL_N + 128)
             groups.setdefault((kind == "up", W, la, lb), []).append(i)
         for (trace, W, la, lb), idxs in groups.items():
-            fn = self._fn(W, la, lb, trace)
+            fn, packed_io = self._fn(W, la, lb, trace)
             for base in range(0, len(idxs), self.batch):
                 sub = idxs[base:base + self.batch]
                 # pad to the kernel's chunk granularity, not the full
@@ -552,6 +559,10 @@ class FillEngine:
                         bb[s, :len(b)] = b
                         alen[s] = len(a)
                         blen[s] = len(b)
+                if packed_io:
+                    # 4-bit pack: nibbles are codes 0-4, lossless
+                    ab = ab[:, 0::2] | (ab[:, 1::2] << 4)
+                    bb = bb[:, 0::2] | (bb[:, 1::2] << 4)
                 if trace:
                     import os
                     res_d, bufs = fn(ab, alen, bb, blen)

@@ -149,7 +149,7 @@ class ShardedFillEngine:
             if key not in eng._fns:
                 eng._fns[key] = make_sharded_fill(
                     score_p, W, max_blocks=nb, mesh=mesh, trace=trace)
-            return eng._fns[key]
+            return eng._fns[key], False    # unpacked char inputs
 
         eng._fn = _fn
 

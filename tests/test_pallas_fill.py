@@ -105,3 +105,38 @@ def test_pallas_two_level_extraction_matches_xla():
                                   np.asarray(b2.dirs)[:, :nbl])
     np.testing.assert_array_equal(np.asarray(b1.masks)[:, :nbl],
                                   np.asarray(b2.masks)[:, :nbl])
+
+
+def test_packed_io_matches_unpacked():
+    """4-bit packed char inputs (FillEngine's upload format) must give
+    identical results to the plain inputs."""
+    p = simple(2, 3, 5, 1)
+    W = 64
+    rng = np.random.default_rng(5)
+    seqs_a = [rng.integers(0, 4, 180) for _ in range(4)]
+    seqs_b = [mutate(rng, a, W) for a in seqs_a]
+    ab, alen = band.pad_codes(seqs_a)
+    bb, blen = band.pad_codes(seqs_b)
+    ab = np.asarray(ab)
+    bb = np.asarray(bb)
+    if ab.shape[1] % 2:
+        ab = np.pad(ab, ((0, 0), (0, 1)), constant_values=band.NCODE)
+    if bb.shape[1] % 2:
+        bb = np.pad(bb, ((0, 0), (0, 1)), constant_values=band.NCODE)
+
+    nb = 24
+    plain = pallas_fill.make_fill_pallas(p, W, max_blocks=nb,
+                                         trace=True, interpret=True)
+    packed = pallas_fill.make_fill_pallas(p, W, max_blocks=nb,
+                                          trace=True, interpret=True,
+                                          packed_io=True)
+    r1, b1 = plain(ab, alen, bb, blen)
+    pa = ab[:, 0::2] | (ab[:, 1::2] << 4)
+    pb = bb[:, 0::2] | (bb[:, 1::2] << 4)
+    r2, b2 = packed(pa, alen, pb, blen)
+    np.testing.assert_array_equal(np.asarray(r1.max_score),
+                                  np.asarray(r2.max_score))
+    np.testing.assert_array_equal(np.asarray(r1.max_i),
+                                  np.asarray(r2.max_i))
+    np.testing.assert_array_equal(np.asarray(b1.masks),
+                                  np.asarray(b2.masks))
