@@ -662,6 +662,7 @@ def _map_block(o: Opts, log, wr, engine, mp, mi, queries: list,
     td = threading.Thread(target=drain, daemon=True)
     ts.start()
     td.start()
+    batch = None  # the finally drain must not NameError pre-first-get
     try:
         while True:
             batch = src_q.get()
@@ -689,8 +690,12 @@ def main(argv=None) -> int:
     # CLI invocations should reuse prior compilations (remote-compile
     # TPU tunnels bypass this; CPU/XLA paths honor it)
     import os
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/minialign_tpu_jax_cache")
+    import tempfile
+    cache_dir = os.path.join(
+        tempfile.gettempdir(),
+        "minialign_tpu_jax_cache_%d" % os.getuid()
+        if hasattr(os, "getuid") else "minialign_tpu_jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
                           "1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES",

@@ -537,6 +537,7 @@ class FillEngine:
                 # limit within the first segments)
                 gran = 128 if self.use_pallas else self.batch
                 B = max(gran, -(-len(sub) // gran) * gran)
+                pooled = False
                 if sub and not isinstance(reqs[sub[0]][1], np.ndarray):
                     aspecs = [reqs[i][1] for i in sub]
                     bspecs = [reqs[i][2] for i in sub]
@@ -549,6 +550,7 @@ class FillEngine:
                     alen = np.asarray(alen, np.int32)
                     blen = np.asarray(blen, np.int32)
                 else:
+                    pooled = True
                     ab = self._dispatch_buf("a", (B, la))
                     bb = self._dispatch_buf("b", (B, lb))
                     alen = np.zeros(B, np.int32)
@@ -563,6 +565,14 @@ class FillEngine:
                     # 4-bit pack: nibbles are codes 0-4, lossless
                     ab = ab[:, 0::2] | (ab[:, 1::2] << 4)
                     bb = bb[:, 0::2] | (bb[:, 1::2] << 4)
+                elif pooled and self.use_pallas:
+                    # XLA-fallback dispatch of a pooled staging buffer:
+                    # detach so a later in-place refill can never
+                    # corrupt an in-flight batch if the backend defers
+                    # the host->device copy (the packed branch above
+                    # makes fresh arrays implicitly)
+                    ab = ab.copy()
+                    bb = bb.copy()
                 if trace:
                     import os
                     res_d, bufs = fn(ab, alen, bb, blen)

@@ -12,6 +12,11 @@ equal-score results. These functions reproduce the exact permutation
 (RS_MIN_SIZE=64 insertion-sort fallback included); the native C
 version in native/minialign_native.cpp is bit-equal and preferred.
 
+Algorithm attribution: the reproduced algorithm is klib's
+KRADIX_SORT_INIT (https://github.com/attractivechaos/klib ksort.h,
+MIT license, (c) Attractive Chaos), which the reference vendors as
+ksort.h.
+
 Returns order indices (sort by taking arr[order]).
 """
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -24,7 +25,10 @@ _SO = os.path.join(_NATIVE_DIR, "libminialign_native.so")
 _lib = None
 _tried = False
 _malloc_tuned = False
-_sketch_scratch: dict = {}
+# per-thread grow-only scratch: sketching currently runs on one worker
+# thread, but keep the invariant structural so a widened -t pipeline
+# cannot silently corrupt minimizer streams
+_sketch_tls = threading.local()
 
 
 def tune_malloc() -> bool:
@@ -273,7 +277,9 @@ def sketch_seq(codes: np.ndarray, k: int, w: int):
     # hosts (fresh page faults, see tune_malloc). Reuse one scratch
     # set across calls (grow-only; callers get copies).
     cap = max(min(L, 8 * L // w + 1024), 16)
-    scr = _sketch_scratch
+    scr = getattr(_sketch_tls, "scr", None)
+    if scr is None:
+        scr = _sketch_tls.scr = {}
     while True:
         if scr.get("cap", 0) < cap:
             scr["h"] = np.empty(cap, np.uint64)

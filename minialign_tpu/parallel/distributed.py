@@ -47,8 +47,8 @@ def _plan(o, queries, mi_blocks):
     from ..io import bseq
 
     rank = 0
+    n_reads = 0  # accumulates across index blocks, mirroring cli.main
     for bi, _mi in enumerate(mi_blocks):
-        n_reads = 0
         for path in queries:
             for batch in bseq.read_batches(path,
                                            batch_size=o.batch_size,

@@ -723,6 +723,12 @@ int64_t chain_seeds_c(const int64_t* seeds, int64_t n, int64_t twlen,
 // from the top byte of the key down, buckets over RS_MIN_SIZE=64
 // recurse, smaller buckets finish with a stable insertion sort, and
 // arrays of <=64 records are insertion-sorted outright.
+//
+// Algorithm attribution: this is klib's KRADIX_SORT_INIT
+// (https://github.com/attractivechaos/klib ksort.h, MIT license,
+// (c) Attractive Chaos), vendored by the reference as ksort.h; the
+// structure below necessarily mirrors it because the equal-key
+// permutation it produces is observable in the output.
 // ---------------------------------------------------------------------------
 
 namespace {
