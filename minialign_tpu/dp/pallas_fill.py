@@ -326,12 +326,16 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
             offb = jnp.clip(jhead0, 0, 1 << PB)
             # two-level extraction (long sources): every J segments a
             # super-window of 2**PS + SL rows is extracted from the
-            # full source at the current offset; per-segment windows
-            # then extract from it at the (small) relative offset.
-            # Offsets advance <= SL per segment, so J*SL <= 2**PS
-            # guarantees coverage. Cuts per-segment select traffic
-            # ~(2**P)/(2**PS + 2**P/J)-fold; bit-identical by
-            # construction (same rows reach the slabs).
+            # full source at the current offset; per-BLOCK 32-row
+            # windows then extract from it (or from the source when it
+            # is short) at offsets that replicate the roll-consumption
+            # row sequence exactly: the a-side has consumed
+            # (ihead - ihead0) rows since the segment head and the
+            # b-side the complementary count, so the block window
+            # starts at the segment-start clipped offset plus that
+            # advance — bit-identical rows by construction. Offsets
+            # advance <= SL per segment, so J*SL <= 2**PS guarantees
+            # super-window coverage.
             SUPL = (1 << PS) + SL
             if tlA or tlB:
                 refresh = (seg % J) == 0
@@ -346,20 +350,6 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                         supb_ref[...] = _extract_window(
                             bT_ref, offb, SUPL, PB, B, scr0, scr1)
                         basesc[1:2] = offb
-            if tlA:
-                rel_a = jnp.clip(offa - basesc[0:1], 0, 1 << PS)
-                aslab0 = _extract_window(supa_ref, rel_a, SL, PS, B,
-                                         scr0, scr1)
-            else:
-                aslab0 = _extract_window(aT_ref, offa, SL, PA, B,
-                                         scr0, scr1)
-            if tlB:
-                rel_b = jnp.clip(offb - basesc[1:2], 0, 1 << PS)
-                bslab0 = _extract_window(supb_ref, rel_b, SL, PS, B,
-                                         scr0, scr1)
-            else:
-                bslab0 = _extract_window(bT_ref, offb, SL, PB, B,
-                                         scr0, scr1)
 
             if trace:
                 iheads_ref[pl.ds(seg * K, 1)] = ihead0
@@ -371,96 +361,132 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                       ihead0, sc_ref[R_RPREV:R_RPREV + 1])
             track0 = (sc_ref[R_GMAX:R_GMAX + 1], sc_ref[R_GI:R_GI + 1],
                       sc_ref[R_GJ:R_GJ + 1],
-                      sc_ref[R_NSTEPS:R_NSTEPS + 1],
                       sc_ref[R_CDROP:R_CDROP + 1],
-                      S_ref[c:c + 1])
+                      S_ref[c:c + 1], p0)
             term0 = sc_ref[R_TERM:R_TERM + 1]
+            nsteps0 = sc_ref[R_NSTEPS:R_NSTEPS + 1]
 
-            def make_step_body(bulk):
-              def step_body(t, state):
-                if trace:
-                    carry, track, term, aslab, bslab, dirbits, pp = state
+            def make_block_body(bulk):
+              def block_body(blk, bstate):
+                carry, track, term, nsteps = bstate
+                ihead_b = carry[5]
+                pp_b = track[5]
+                # live mask is constant within a block (term only
+                # changes at block boundaries, gaba.c:1738); int32 so
+                # the closure value crossing the fori boundary never
+                # carries an i1 vector layout
+                live32 = (term == 0).astype(jnp.int32)
+
+                # per-block 32-row char windows (1 vreg each in the
+                # step carry). Row offsets replicate the segment-slab
+                # roll sequence: a-side advance = ihead - ihead0,
+                # b-side advance = steps - a-advance.
+                adv_a = ihead_b - ihead0
+                adv_b = (pp_b - p0) - adv_a
+                if tlA:
+                    ra = jnp.clip(offa + adv_a - basesc[0:1],
+                                  0, 1 << PS)
+                    aslab = _extract_window(supa_ref, ra, BLK, PS, B,
+                                            scr0, scr1)
                 else:
-                    # dirbits are trace-only output; keep them out of
-                    # the no-trace carry entirely
-                    carry, track, term, aslab, bslab, pp = state
-                # chars ride as int32 in the band state (packed, see
-                # _step_t): int8 values threading through the
-                # where/concat carry chain make Mosaic's layout
-                # inference fail (i1 relayout error); the slabs stay
-                # int8 and convert on consumption
-                anext = aslab[0:1].astype(jnp.int32)
-                bnext = bslab[0:1].astype(jnp.int32)
+                    ra = jnp.clip(offa + adv_a, 0, 1 << PA)
+                    aslab = _extract_window(aT_ref, ra, BLK, PA, B,
+                                            scr0, scr1)
+                if tlB:
+                    rb = jnp.clip(offb + adv_b - basesc[1:2],
+                                  0, 1 << PS)
+                    bslab = _extract_window(supb_ref, rb, BLK, PS, B,
+                                            scr0, scr1)
+                else:
+                    rb = jnp.clip(offb + adv_b, 0, 1 << PB)
+                    bslab = _extract_window(bT_ref, rb, BLK, PB, B,
+                                            scr0, scr1)
+                # layout-normalize through the step carry: values from
+                # _extract_window are already normalized (ref reload)
 
-                carry, down_i, masks, step_max, step_arg = _step_t(
-                    p, W, B, carry, anext, bnext, pp, bulk=bulk,
-                    trace=trace)
-                d = down_i == 1
+                def step_body(t, state):
+                    if trace:
+                        carry, track, aslab, bslab, dirbits = state
+                    else:
+                        carry, track, aslab, bslab = state
+                    # chars ride as int32 in the band state (packed,
+                    # see _step_t): int8 values threading through the
+                    # where/concat carry chain make Mosaic's layout
+                    # inference fail (i1 relayout error); the slabs
+                    # stay int8 and convert on consumption
+                    anext = aslab[0:1].astype(jnp.int32)
+                    bnext = bslab[0:1].astype(jnp.int32)
+                    pp = track[5]
 
-                # consume: roll the used side down by one row
-                aslab = jnp.where(d, aslab, jnp.concatenate(
-                    [aslab[1:], nrow], axis=0))
-                bslab = jnp.where(d, jnp.concatenate(
-                    [bslab[1:], nrow], axis=0), bslab)
+                    carry, down_i, masks, step_max, step_arg = _step_t(
+                        p, W, B, carry, anext, bnext, pp, bulk=bulk,
+                        trace=trace)
+                    d = down_i == 1
 
-                gmax, gi_, gj_, nsteps, cdrop, s_c = track
-                upd = (step_max > gmax) & (term == 0)
-                ihead_new = carry[5]
-                gmax = jnp.where(upd, step_max, gmax)
-                gi_ = jnp.where(upd, ihead_new - step_arg, gi_)
-                gj_ = jnp.where(upd, (pp + 3) - (ihead_new - step_arg),
-                                gj_)
-                nsteps = nsteps + (term == 0).astype(jnp.int32)
-                # gaba's saturating center-lane drop accumulator
-                # (gaba.c:1650; see dp/band.py); the previous center
-                # value rides in the carry so only one lane extract
-                # runs per step
-                s_c_new = carry[0][c:c + 1]
-                cdrop = jnp.clip(cdrop - (s_c_new - s_c),
-                                 -128, 127)
+                    # consume: roll the used side down by one row
+                    aslab = jnp.where(d, aslab, jnp.concatenate(
+                        [aslab[1:], nrow], axis=0))
+                    bslab = jnp.where(d, jnp.concatenate(
+                        [bslab[1:], nrow], axis=0), bslab)
+
+                    gmax, gi_, gj_, cdrop, s_c, _ = track
+                    upd = (step_max > gmax) & (live32 > 0)
+                    ihead_new = carry[5]
+                    gmax = jnp.where(upd, step_max, gmax)
+                    gi_ = jnp.where(upd, ihead_new - step_arg, gi_)
+                    gj_ = jnp.where(upd,
+                                    (pp + 3) - (ihead_new - step_arg),
+                                    gj_)
+                    # gaba's saturating center-lane drop accumulator
+                    # (gaba.c:1650; see dp/band.py); the previous
+                    # center value rides in the carry so only one lane
+                    # extract runs per step
+                    s_c_new = carry[0][c:c + 1]
+                    cdrop = jnp.clip(cdrop - (s_c_new - s_c),
+                                     -128, 127)
+
+                    if trace:
+                        dirbits = dirbits | (down_i << t)
+                        # int32 packing: sums of distinct powers of
+                        # two wrap to the same bits as uint32 OR would
+                        w32 = (jnp.int32(1) << (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (W, B), 0) % 32))
+                        zero_row = jnp.zeros((1, B), jnp.int32)
+                        for mi, m in enumerate(masks):
+                            mw = m.astype(jnp.int32) * w32
+                            lo = jnp.sum(mw[:min(32, W)], axis=0,
+                                         keepdims=True)
+                            hi = jnp.sum(mw[32:], axis=0,
+                                         keepdims=True) \
+                                if W > 32 else zero_row
+                            mstage_ref[blk, t, mi] = \
+                                jnp.concatenate([lo, hi], axis=0)
+
+                    track = (gmax, gi_, gj_, cdrop, s_c_new, pp + 1)
+                    if trace:
+                        return (carry, track, aslab, bslab, dirbits)
+                    return (carry, track, aslab, bslab)
 
                 if trace:
-                    dirbits = dirbits | (down_i << (t % BLK))
-                    # int32 packing: sums of distinct powers of two
-                    # wrap to the same bits as the uint32 OR would
-                    w32 = (jnp.int32(1) << (jax.lax.broadcasted_iota(
-                        jnp.int32, (W, B), 0) % 32))
-                    zero_row = jnp.zeros((1, B), jnp.int32)
-                    for mi, m in enumerate(masks):
-                        mw = m.astype(jnp.int32) * w32
-                        lo = jnp.sum(mw[:min(32, W)], axis=0,
-                                     keepdims=True)
-                        hi = jnp.sum(mw[32:], axis=0, keepdims=True) \
-                            if W > 32 else zero_row
-                        mstage_ref[t // BLK, t % BLK, mi] = \
-                            jnp.concatenate([lo, hi], axis=0)
-
-                # block boundary: dir bits out, X-drop (gaba.c:1738)
-                at_blk_end = ((t + 1) % BLK) == 0
+                    st0 = (carry, track, aslab, bslab,
+                           jnp.zeros((1, B), jnp.int32))
+                else:
+                    st0 = (carry, track, aslab, bslab)
+                st = jax.lax.fori_loop(0, BLK, step_body, st0)
+                carry, track = st[0], st[1]
 
                 if trace:
-                    @pl.when(at_blk_end)
-                    def _():
-                        dirs_ref[seg * K + t // BLK] = dirbits[0]
+                    dirs_ref[pl.ds(seg * K + blk, 1)] = st[4]
 
-                xdrop_hit = (cdrop
+                # block end: X-drop test (gaba.c:1738) + step count
+                xdrop_hit = (track[3]
                              > (p.xdrop - 128)).astype(jnp.int32)
-                term = jnp.where(at_blk_end, term | xdrop_hit, term)
-                track = (gmax, gi_, gj_, nsteps, cdrop, s_c_new)
-                if trace:
-                    dirbits = jnp.where(at_blk_end,
-                                        jnp.zeros((1, B), jnp.int32),
-                                        dirbits)
-                    return (carry, track, term, aslab, bslab, dirbits,
-                            pp + 1)
-                return (carry, track, term, aslab, bslab, pp + 1)
-              return step_body
+                term = term | xdrop_hit
+                nsteps = nsteps + BLK * live32
+                return (carry, track, term, nsteps)
+              return block_body
 
-            if trace:
-                state0 = (carry0, track0, term0, aslab0, bslab0,
-                          jnp.zeros((1, B), jnp.int32), p0)
-            else:
-                state0 = (carry0, track0, term0, aslab0, bslab0, p0)
             # a segment is "bulk" (boundary handling compiled out, the
             # reference's fill_bulk_block vs fill_cap split) when no
             # lane of any problem can touch i==0/j==0 within it: ihead
@@ -468,14 +494,16 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
             p0s = seg * SL - 1
             can_bulk = (jnp.min(ihead0) >= W) & \
                 (jnp.max(ihead0) <= p0s + 1)
-            state = jax.lax.cond(
+            bstate0 = (carry0, track0, term0, nsteps0)
+            bstate = jax.lax.cond(
                 can_bulk,
-                lambda st: jax.lax.fori_loop(0, K * BLK,
-                                             make_step_body(True), st),
-                lambda st: jax.lax.fori_loop(0, K * BLK,
-                                             make_step_body(False), st),
-                state0)
-            carry, track, term = state[0], state[1], state[2]
+                lambda st: jax.lax.fori_loop(0, K,
+                                             make_block_body(True), st),
+                lambda st: jax.lax.fori_loop(0, K,
+                                             make_block_body(False),
+                                             st),
+                bstate0)
+            carry, track, term, nsteps = bstate
             S, Sp, E, F, P, ihead, rprev = carry
 
             # p-limit termination for the NEXT segment
@@ -491,8 +519,8 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
             sc_ref[R_GMAX:R_GMAX + 1] = track[0]
             sc_ref[R_GI:R_GI + 1] = track[1]
             sc_ref[R_GJ:R_GJ + 1] = track[2]
-            sc_ref[R_NSTEPS:R_NSTEPS + 1] = track[3]
-            sc_ref[R_CDROP:R_CDROP + 1] = track[4]
+            sc_ref[R_NSTEPS:R_NSTEPS + 1] = nsteps
+            sc_ref[R_CDROP:R_CDROP + 1] = track[3]
             sc_ref[R_NSEG:R_NSEG + 1] = nseg_row + 1
 
             if trace:
@@ -566,8 +594,11 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         if (1 << PS) < J * SL:
             PS += 1
         SUPL = (1 << PS) + SL
-        tlA = PA > PS + 2
-        tlB = PB > PS + 2
+        # per-BLOCK extraction makes the non-super path pay O(2**PA)
+        # per block, so any source longer than the super-window routes
+        # through two-level (was PS + 2 when extraction was per-segment)
+        tlA = PA > PS
+        tlB = PB > PS
         LAp = (1 << PA) + (SUPL if tlA else SL)
         LBp = (1 << PB) + (SUPL if tlB else SL)
         aT = jnp.pad(a, ((0, 0), (0, LAp - LA)),
