@@ -316,8 +316,32 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
         # lowering lacks the grid env there) — read it at kernel level
         chunk = pl.program_id(0)
 
+        if trace:
+            # the mask staging buffer is double-buffered: segment s
+            # writes buffer s%2 and starts its DMA without waiting;
+            # the wait happens two segments later, just before the
+            # buffer is reused, overlapping the HBM write with a full
+            # segment (K*BLK steps) of compute. A synchronous
+            # start+wait stalled ~60 ns/step on v5e (round-3 ablation).
+            # destination is (nchunk, NB, BLK, 6, 2, B): each chunk owns
+            # a contiguous leading-dim block, so the per-segment DMA is
+            # one 0.8 MB burst. Slicing lanes of a wider array instead
+            # (chunk*B:chunk*B+B on the last dim) degenerates to ~1.5k
+            # small strided row copies and stalls ~60 ns/step.
+            def _mask_dma(seg, par):
+                return pltpu.make_async_copy(
+                    mstage_ref.at[par],
+                    masks_ref.at[chunk, pl.ds(seg * K, K)],
+                    sem.at[par])
+
         def seg_body(carry_in):
             seg, _ = carry_in
+            if trace:
+                par = jax.lax.rem(seg, 2)
+
+                @pl.when(seg >= 2)
+                def _():
+                    _mask_dma(seg - 2, par).wait()
             nseg_row = sc_ref[R_NSEG:R_NSEG + 1]
             p0 = nseg_row * SL - 1                       # (1, B)
             ihead0 = sc_ref[R_IHEAD:R_IHEAD + 1]
@@ -448,20 +472,38 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                     if trace:
                         dirbits = dirbits | (down_i << t)
                         # int32 packing: sums of distinct powers of
-                        # two wrap to the same bits as uint32 OR would
-                        w32 = (jnp.int32(1) << (
-                            jax.lax.broadcasted_iota(
-                                jnp.int32, (W, B), 0) % 32))
-                        zero_row = jnp.zeros((1, B), jnp.int32)
-                        for mi, m in enumerate(masks):
-                            mw = m.astype(jnp.int32) * w32
-                            lo = jnp.sum(mw[:min(32, W)], axis=0,
-                                         keepdims=True)
-                            hi = jnp.sum(mw[32:], axis=0,
-                                         keepdims=True) \
-                                if W > 32 else zero_row
-                            mstage_ref[blk, t, mi] = \
-                                jnp.concatenate([lo, hi], axis=0)
+                        # two wrap to the same bits as uint32 OR would.
+                        # All 6 masks pack in ONE fused mul + grouped
+                        # reduction + ONE (12, B) store: per-mask
+                        # reduce->concat->store chains relayout on
+                        # every store and cost ~60 ns/step extra
+                        # (round-3 slopeR ablation).
+                        if W == 64:
+                            w384 = (jnp.int32(1) << (
+                                jax.lax.broadcasted_iota(
+                                    jnp.int32, (6 * W, B), 0) % 32))
+                            allm = jnp.concatenate(
+                                [m.astype(jnp.int32) for m in masks],
+                                axis=0) * w384
+                            g = jnp.sum(
+                                allm.reshape(12, 32, B), axis=1)
+                            mstage_ref[par, blk, t] = g
+                        else:
+                            w32 = (jnp.int32(1) << (
+                                jax.lax.broadcasted_iota(
+                                    jnp.int32, (W, B), 0) % 32))
+                            zero_row = jnp.zeros((1, B), jnp.int32)
+                            rows = []
+                            for m in masks:
+                                mw = m.astype(jnp.int32) * w32
+                                rows.append(jnp.sum(
+                                    mw[:min(32, W)], axis=0,
+                                    keepdims=True))
+                                rows.append(jnp.sum(
+                                    mw[32:], axis=0, keepdims=True)
+                                    if W > 32 else zero_row)
+                            mstage_ref[par, blk, t] = \
+                                jnp.concatenate(rows, axis=0)
 
                     track = (gmax, gi_, gj_, cdrop, s_c_new, pp + 1)
                     if trace:
@@ -524,12 +566,7 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
             sc_ref[R_NSEG:R_NSEG + 1] = nseg_row + 1
 
             if trace:
-                cp = pltpu.make_async_copy(
-                    mstage_ref,
-                    masks_ref.at[pl.ds(seg * K, K), :, :, :,
-                                 pl.ds(chunk * B, B)], sem)
-                cp.start()
-                cp.wait()
+                _mask_dma(seg, par).start()
 
             done = jnp.min(term) > 0
             return (seg + 1, done)
@@ -538,8 +575,16 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
             seg, done = carry_in
             return (seg < n_seg) & jnp.logical_not(done)
 
-        jax.lax.while_loop(seg_cond, seg_body,
-                           (jnp.int32(0), jnp.bool_(False)))
+        final_seg, _ = jax.lax.while_loop(seg_cond, seg_body,
+                                          (jnp.int32(0),
+                                           jnp.bool_(False)))
+        if trace:
+            # drain the (up to two) in-flight mask DMAs
+            for k in (2, 1):
+                @pl.when(final_seg >= k)
+                def _(k=k):
+                    _mask_dma(final_seg - k,
+                              jax.lax.rem(final_seg - k, 2)).wait()
 
     return kernel
 
@@ -660,15 +705,16 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             scratch.append(pltpu.VMEM((SUPL, BC), jnp.int8))
         if trace:
             out_shape = state_shapes + [
-                jax.ShapeDtypeStruct((NB, BLK, 6, 2, B), jnp.int32),
+                jax.ShapeDtypeStruct((nchunk, NB, BLK, 12, BC),
+                                     jnp.int32),
                 jax.ShapeDtypeStruct((NB, B), jnp.int32),   # dirs
                 jax.ShapeDtypeStruct((NB, B), jnp.int32),   # iheads
                 jax.ShapeDtypeStruct((NB, B), jnp.int32),   # rprevs
             ]
             out_specs = state_specs + [anys] + [chunked((NB, B))] * 3
             scratch = scratch + [
-                pltpu.VMEM((K, BLK, 6, 2, BC), jnp.int32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, K, BLK, 12, BC), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
             out_shape = state_shapes
@@ -694,9 +740,10 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         if trace:
             masks, dirs, iheads, rprevs = outs[6], outs[7], outs[8], \
                 outs[9]
+            mk = jnp.transpose(masks, (0, 4, 1, 2, 3)).reshape(
+                B, NB, BLK, 6, 2)[:B0]
             bufs = TraceBuffers(
-                masks=jnp.moveaxis(masks[..., :B0], 4, 0).view(
-                    jnp.uint32),
+                masks=mk.view(jnp.uint32),
                 dirs=dirs[:, :B0].T.view(jnp.uint32),
                 iheads=iheads[:, :B0].T, rprevs=rprevs[:, :B0].T)
             return res, bufs
