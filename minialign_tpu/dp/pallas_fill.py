@@ -479,12 +479,16 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                         # every store and cost ~60 ns/step extra
                         # (round-3 slopeR ablation).
                         if W == 64:
-                            w384 = (jnp.int32(1) << (
+                            # select the weight directly under the mask
+                            # (one select per mask) instead of
+                            # bool->int32 convert + multiply (two ops)
+                            w64 = (jnp.int32(1) << (
                                 jax.lax.broadcasted_iota(
-                                    jnp.int32, (6 * W, B), 0) % 32))
+                                    jnp.int32, (W, B), 0) % 32))
+                            zero = jnp.zeros((W, B), jnp.int32)
                             allm = jnp.concatenate(
-                                [m.astype(jnp.int32) for m in masks],
-                                axis=0) * w384
+                                [jnp.where(m, w64, zero) for m in masks],
+                                axis=0)
                             g = jnp.sum(
                                 allm.reshape(12, 32, B), axis=1)
                             mstage_ref[par, blk, t] = g
