@@ -62,42 +62,64 @@ def make_device_traceback(p: ScoreParams, W: int):
     def run(masks, dirs, iheads0, score, ai, bj):
         B, NB = dirs.shape
         T = NB * BLK + 2
-        mflat = masks.reshape(B, -1).view(jnp.uint32)   # (B, NB*BLK*12)
 
-        def dir_at(pp):
-            """direction bit of band step pp (>=0); p=-1 counts as
-            down (dp/traceback.py dir_at)."""
-            word = jnp.take_along_axis(
-                dirs, jnp.clip(pp, 0, None)[:, None] // BLK,
-                axis=1)[:, 0]
-            bit = (word >> (jnp.clip(pp, 0, None) % BLK).astype(
-                jnp.uint32)) & 1
-            return jnp.where(pp >= 0, bit.astype(jnp.int32), 0)
+        # ---- one-shot repack: per-CELL 6-bit codes (round-3 perf).
+        # The walk probes 6 mask planes per visited cell; gathering 6+
+        # 32-lane words per probe made each while iteration ~78 us of
+        # dependent take_along_axis traffic (5+ s per 128-problem
+        # batch). One vectorized pass folds the planes into a single
+        # int8 code per (step, lane) cell — the walk then gathers ONE
+        # element per cell. Bandwidth cost of the repack is a few ms.
+        QS = 64
+        mw_ = masks.astype(jnp.uint32)                # (B, NB, BLK, 6, 2)
+        sh5 = jnp.arange(32, dtype=jnp.uint32)
 
-        def mwords(pp):
-            """the 12 mask words of band step pp: (B, 12) uint32."""
-            base = (jnp.clip(pp, 0, None) * 12)[:, None] + \
-                jnp.arange(12, dtype=jnp.int32)[None, :]
-            return jnp.take_along_axis(mflat, base, axis=1)
+        # chunked over block groups: the expansion's uint32
+        # intermediates are 4-24x the uint8 output, so a whole-buffer
+        # expression OOMs HBM at 20 kb-bucket sizes. fori_loop +
+        # consistent dynamic_slice/update clamping keeps intermediates
+        # at one group (the clamped final partial group recomputes a
+        # suffix window — same values, harmless).
+        GC = min(64, NB)
+        NG = -(-NB // GC)
 
-        def mbit(mw, mi, q):
-            qc = jnp.clip(q, 0, W - 1)
-            w = mw[:, 2 * mi] * (qc < 32) + mw[:, 2 * mi + 1] * (qc >= 32)
-            return ((w >> (qc % 32).astype(jnp.uint32)) & 1).astype(
+        def repack_group(g, acc):
+            sl = jax.lax.dynamic_slice_in_dim(
+                mw_, g * GC, GC, axis=1)            # (B, GC, BLK, 6, 2)
+            pc = None
+            for mi in range(6):
+                pb = ((sl[:, :, :, mi, :, None] >> sh5) & 1) << mi
+                pc = pb if pc is None else (pc | pb)
+            pc = pc.astype(jnp.uint8).reshape(B, GC * BLK * QS)
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, pc, g * GC * BLK * QS, axis=1)
+
+        codes = jax.lax.fori_loop(
+            0, NG, repack_group,
+            jnp.zeros((B, NB * BLK * QS), jnp.uint8))
+
+        def cell_code(pp, q):
+            """(B, ...) int32 6-bit plane code at band step pp, lane q
+            (clipped; callers gate out-of-range)."""
+            idx = jnp.clip(pp, 0, None) * QS + jnp.clip(q, 0, W - 1)
+            return jnp.take_along_axis(codes, idx, axis=1).astype(
                 jnp.int32)
 
-        def probe(pp, q):
-            """gaba mask algebra at one cell: (hb, vb, eb, fb)."""
-            mw = mwords(pp)
-            m_e = mbit(mw, M_E, q)
-            m_gfb = mbit(mw, M_GFB, q)
-            m_f = mbit(mw, M_F, q)
-            m_gfa = mbit(mw, M_GFA, q)
+        def code_bits(c):
+            """gaba mask algebra on a packed cell code: hb/vb/eb/fb."""
+            m_e = (c >> M_E) & 1
+            m_gfb = (c >> M_GFB) & 1
+            m_f = (c >> M_F) & 1
+            m_gfa = (c >> M_GFA) & 1
             hb = (m_e | m_gfb) == 1
             vb = (m_f | m_gfa) == 1
-            eb = ((m_e & (1 - m_gfb)) | mbit(mw, M_EO, q)) == 1
-            fb = ((m_f & (1 - m_gfa)) | mbit(mw, M_FO, q)) == 1
+            eb = ((m_e & (1 - m_gfb)) | ((c >> M_EO) & 1)) == 1
+            fb = ((m_f & (1 - m_gfa)) | ((c >> M_FO) & 1)) == 1
             return hb, vb, eb, fb
+
+        def probe(pp, q):
+            c = cell_code(pp[:, None], q[:, None])[:, 0]
+            return code_bits(c)
 
         # ---- init (mirrors traceback_one's prologue)
         i0 = ai.astype(jnp.int32)
@@ -148,8 +170,28 @@ def make_device_traceback(p: ScoreParams, W: int):
             bad = st["bad"]
             live = ~done
 
-            d_pp = dir_at(pp)
-            d_pp1 = dir_at(pp - 1)
+            # dir bits D[:, o] = direction at band step pp - o, for
+            # o in [0, 2*CHAIN): one 3-word gather + local extraction
+            # (chain trajectories below need the whole window; the
+            # former per-step dir_at gathers were a dependent chain)
+            NO = 2 * CHAIN
+            base = jnp.clip(pp, 0, None) // BLK               # (B,)
+            dw = jnp.take_along_axis(
+                dirs, jnp.clip(base[:, None]
+                               - jnp.arange(3)[None, :], 0, None),
+                axis=1)                                       # (B, 3)
+            o_ = jnp.arange(NO, dtype=jnp.int32)[None, :]
+            po = pp[:, None] - o_                             # (B, NO)
+            rel = base[:, None] - jnp.clip(po, 0, None) // BLK
+            wsel = jnp.where(rel == 0, dw[:, 0:1],
+                             jnp.where(rel == 1, dw[:, 1:2],
+                                       dw[:, 2:3]))
+            D = ((wsel >> (jnp.clip(po, 0, None) % BLK).astype(
+                jnp.uint32)) & 1).astype(jnp.int32)
+            D = jnp.where(po >= 0, D, 0)                      # (B, NO)
+
+            d_pp = D[:, 0]
+            d_pp1 = D[:, 1]
 
             at_i0 = live & (i == 0)
             at_j0 = live & (j == 0) & ~at_i0
@@ -187,47 +229,70 @@ def make_device_traceback(p: ScoreParams, W: int):
 
             # ---- chained runs: affine gaps and diagonal streaks walk
             # up to CHAIN cells in this iteration, probing each arrived
-            # cell (identical stop rules to the single-step walker)
+            # cell (identical stop rules to the single-step walker).
+            # Round-3 form: the positions a run visits depend ONLY on
+            # the dir bits (already extracted above), never on the
+            # masks — so the whole CHAIN-deep trajectory is computed
+            # up front and all its cells are probed with ONE gather,
+            # replacing CHAIN-1 dependent gather rounds per iteration.
             run_e = b_e | in_e
             run_f = b_f | in_f
             run_d = b_dg
             chain = run_e | run_f | run_d
+            C = CHAIN
 
-            # first move (the op emitted at the CURRENT cell)
-            qk = jnp.where(run_e, q + d_pp,
-                           jnp.where(run_f, q - (1 - d_pp),
-                                     q + d_pp - (1 - d_pp1)))
-            ppk = pp - jnp.where(run_d, 2, 1)
-            ik = i - (run_e | run_d).astype(jnp.int32)
-            jk = j - (run_f | run_d).astype(jnp.int32)
-            n_run = chain.astype(jnp.int32)
-            cont = chain
-            for _ in range(CHAIN - 1):
-                hbk, vbk, ebk, fbk = probe(ppk, qk)
-                okq = (qk >= 0) & (qk < W)
-                e_stop = ~hbk & ebk
-                f_stop = ~vbk & fbk
-                cont = cont & okq & jnp.where(
-                    run_e, ~e_stop & (ik > 0),
-                    jnp.where(run_f, ~f_stop & (jk > 0),
-                              (ik > 0) & (jk > 0) & ~vbk & ~hbk))
-                dk = dir_at(ppk)
-                dk1 = dir_at(ppk - 1)
-                q2 = jnp.where(run_e, qk + dk,
-                               jnp.where(run_f, qk - (1 - dk),
-                                         qk + dk - (1 - dk1)))
-                pp2 = ppk - jnp.where(run_d, 2, 1)
-                qk = jnp.where(cont, q2, qk)
-                ppk = jnp.where(cont, pp2, ppk)
-                ik = ik - (cont & (run_e | run_d)).astype(jnp.int32)
-                jk = jk - (cont & (run_f | run_d)).astype(jnp.int32)
-                n_run = n_run + cont
+            # q after m moves (column m-1), per run type:
+            #   e: q + sum_{r<m} D[r]         (pp - m)
+            #   f: q - m + sum_{r<m} D[r]     (pp - m)
+            #   d: q + sum_{r<m} (D[2r] + D[2r+1] - 1)   (pp - 2m)
+            Se = jnp.cumsum(D[:, :C], axis=1)
+            Sd = jnp.cumsum(D[:, 0::2][:, :C] + D[:, 1::2][:, :C] - 1,
+                            axis=1)
+            m1 = jnp.arange(1, C + 1, dtype=jnp.int32)[None, :]
+            q_tr = jnp.where(run_e[:, None], q[:, None] + Se,
+                             jnp.where(run_f[:, None],
+                                       q[:, None] - m1 + Se,
+                                       q[:, None] + Sd))   # (B, C)
+            pp_tr = pp[:, None] - m1 * jnp.where(run_d[:, None], 2, 1)
+            hbt, vbt, ebt, fbt = code_bits(cell_code(pp_tr, q_tr))
+            okq = (q_tr >= 0) & (q_tr < W)
+
+            # cont after probing position m (loop iteration m):
+            # stop rules and budget tests identical to the single-step
+            # walker; prefix-AND via cumprod reproduces the sequential
+            # early-stop exactly
+            stop = jnp.where(run_e[:, None], (~hbt) & ebt,
+                             jnp.where(run_f[:, None], (~vbt) & fbt,
+                                       vbt | hbt))
+            cnt_ok = jnp.where(
+                run_e[:, None], i[:, None] - m1 > 0,
+                jnp.where(run_f[:, None], j[:, None] - m1 > 0,
+                          (i[:, None] - m1 > 0)
+                          & (j[:, None] - m1 > 0)))
+            keep = okq & (~stop) & cnt_ok                  # (B, C)
+            pref = jnp.cumprod(keep[:, :C - 1].astype(jnp.int32),
+                               axis=1)                     # (B, C-1)
+            n_run = jnp.where(chain,
+                              1 + jnp.sum(pref, axis=1), 0)
+            contC = chain & (pref[:, C - 2] == 1)
+
+            ik = i - jnp.where(run_e | run_d, n_run, 0)
+            jk = j - jnp.where(run_f | run_d, n_run, 0)
+            ppk = pp - n_run * jnp.where(run_d, 2, 1)
+            qk = jnp.take_along_axis(
+                q_tr, jnp.clip(n_run - 1, 0, None)[:, None],
+                axis=1)[:, 0]
+            qk = jnp.where(chain, qk, q)
+
             # run continuation into the NEXT iteration: stop iff the
             # ARRIVED cell has (h == 0 and e == 1) for e-runs /
-            # (v == 0 and f == 1) for f-runs (gaba's _trace_test_gap)
-            hbf, vbf, ebf, fbf = probe(ppk, qk)
-            e_more = cont & run_e & ~(~hbf & ebf) & (ik > 0)
-            f_more = cont & run_f & ~(~vbf & fbf) & (jk > 0)
+            # (v == 0 and f == 1) for f-runs (gaba's _trace_test_gap).
+            # Only reachable when all C moves were made, so the arrived
+            # cell is trajectory column C-1.
+            e_more = contC & run_e & ~((~hbt[:, C - 1]) & ebt[:, C - 1]) \
+                & (ik > 0)
+            f_more = contC & run_f & ~((~vbt[:, C - 1]) & fbt[:, C - 1]) \
+                & (jk > 0)
 
             # one-base gf gaps (always exactly one base)
             q_s = jnp.where(b_hgf, q + d_pp, q - (1 - d_pp))
