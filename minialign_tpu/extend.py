@@ -338,7 +338,11 @@ class FillEngine:
             off += len(r)
             lens.append(len(c))
         flat = np.concatenate(parts) if parts else np.zeros(1, np.int8)
-        self._ref_flat = jax.device_put(flat)
+        from .dp import pallas_gather
+        # one padded (rows, 128) upload serves both the Pallas DMA
+        # gather (row-aligned windows) and the XLA fallback (1D view)
+        self._ref_store2 = jax.device_put(pallas_gather.pad_store(flat))
+        self._ref_flat = self._ref_store2.reshape(-1)
         self._ref_fw = fw_bases
         self._ref_rv = rv_bases
         self._ref_len = lens
@@ -357,7 +361,9 @@ class FillEngine:
             off += 2 * len(c)
             lens.append(len(c))
         flat = np.concatenate(parts) if parts else np.zeros(1, np.int8)
-        self._q_flat = jax.device_put(flat)
+        from .dp import pallas_gather
+        self._q_store2 = jax.device_put(pallas_gather.pad_store(flat))
+        self._q_flat = self._q_store2.reshape(-1)
         self._q_bases = bases
         self._q_len = lens
 
@@ -396,11 +402,13 @@ class FillEngine:
         seglen = np.zeros(B, np.int32)
         wrap = np.zeros(B, np.int32)
         flat = None
+        store2 = None
         elen = np.zeros(B, np.int32)
         for s, spec in enumerate(specs):
             if spec[0] == "ref":
                 _, rid, rev, st0, cp, wr = spec
                 flat = self._ref_flat
+                store2 = self._ref_store2
                 base[s] = self._ref_rv[rid] if rev else self._ref_fw[rid]
                 start[s] = st0
                 rlen = self._ref_len[rid]
@@ -411,6 +419,7 @@ class FillEngine:
             else:
                 _, qidx, which, st0 = spec
                 flat = self._q_flat
+                store2 = self._q_store2
                 b0, b1 = self._q_bases[qidx]
                 base[s] = b1 if which else b0
                 start[s] = st0
@@ -418,7 +427,20 @@ class FillEngine:
                 seglen[s] = qlen
                 cap[s] = max(0, qlen - st0)
                 elen[s] = cap[s]
-        arr = self._gather_fn(L)(flat, base, start, cap, seglen, wrap)
+        from .dp import pallas_gather
+        if (self.use_pallas and store2 is not None
+                and not wrap.any() and (start >= 0).all()
+                and L % 1024 == 0 and L <= pallas_gather.LMAX):
+            # Pallas DMA gather: row-aligned window copies from the
+            # resident store; the XLA take() path costs ~8 ns/element
+            # (the reason MINIALIGN_DEVICE_SEQS lost in round 2).
+            # Clamp the offset to the segment end so padded problems
+            # with start past the data still DMA in-bounds.
+            off = np.minimum(base + start, base + seglen)
+            arr = pallas_gather.make_gather(L, B)(store2, off, elen)
+        else:
+            arr = self._gather_fn(L)(flat, base, start, cap, seglen,
+                                     wrap)
         return arr, elen
 
     # byte LUTs for op-code -> path-string builds (op 3 = diagonal is

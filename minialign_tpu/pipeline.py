@@ -92,13 +92,17 @@ def align_batch(mp: MapParams, mi: MMIndex, reads: list,
     engine = engine or FillEngine(mp.score)
     tb = tbuf if tbuf is not None else {"rlen": 0}
     # device-resident sequence store: avoids per-dispatch sequence
-    # uploads by building band inputs with on-device gathers. Measured
-    # SLOWER on v5e (XLA gather ~8 ns/elem >> the upload cost even over
-    # a tunnel), so off by default; revisit on hardware where host
-    # links are the bottleneck (PERF_NOTES.md).
+    # uploads by building band inputs with on-device gathers. Default
+    # ON for Pallas backends since round 3's DMA-gather kernel
+    # (dp/pallas_gather.py) — the XLA take() path that lost in round 2
+    # (~8 ns/elem) remains only as the circular-wrap fallback.
+    # MINIALIGN_DEVICE_SEQS=0 forces host-built uploads, =1 forces the
+    # store even on XLA-fill backends.
     import os
-    use_store = hasattr(engine, "set_index") and \
-        bool(os.environ.get("MINIALIGN_DEVICE_SEQS"))
+    env = os.environ.get("MINIALIGN_DEVICE_SEQS")
+    use_store = hasattr(engine, "set_index") and (
+        env == "1" or (env not in ("0", "") and
+                       getattr(engine, "use_pallas", False)))
     if use_store:
         engine.set_index(mi)
         engine.set_queries([np.asarray(c, np.int8) for c in reads])
