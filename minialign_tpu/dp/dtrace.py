@@ -47,7 +47,7 @@ SUMMARY_ROWS = ("n_ops", "n_ent", "bad", "dcnt", "agcnt", "bgcnt",
 
 
 def make_device_traceback(p: ScoreParams, W: int):
-    """Returns jit fn(masks, dirs, iheads0, score, ai, bj) ->
+    """Returns jit fn(masks, dirs, iheads, score, ai, bj) ->
     (rle (T, B) int8 backward run entries, summary (10, B) int32 with
     rows SUMMARY_ROWS — op/entry counts, out-of-band status, and the
     walk counters packed into one array so the host pays ONE transfer).
@@ -59,7 +59,10 @@ def make_device_traceback(p: ScoreParams, W: int):
     model = p.model
 
     @jax.jit
-    def run(masks, dirs, iheads0, score, ai, bj):
+    def run(masks, dirs, iheads, score, ai, bj):
+        # column 0 = the fill's initial ihead; sliced inside the jit
+        # (an eager device slice costs a dispatch round)
+        iheads0 = iheads[:, 0]
         B, NB = dirs.shape
         T = NB * BLK + 2
 

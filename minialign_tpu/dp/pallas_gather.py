@@ -54,11 +54,14 @@ def pad_store(flat):
 
 
 @functools.lru_cache(maxsize=None)
-def make_gather(L: int, B: int):
+def make_gather(L: int, B: int, packed: bool = False):
     """Returns jit fn(store2d, off, ln) -> (B, L) int8 with row b =
     store[off_b : off_b + ln_b] then NCODE. off in elements, any
     alignment; ln <= L; off + L + 1024 must stay inside the padded
-    store (pad_store guarantees it for off <= N)."""
+    store (pad_store guarantees it for off <= N). With packed=True the
+    result is 4-bit packed to (B, L/2) inside the same jit — eager
+    strided slicing on device arrays costs ~5 ms per dispatch in
+    op-by-op overhead (round-3 profile)."""
     assert L % 1024 == 0 and L <= LMAX
     R = L // 128
     R1 = R + 8
@@ -120,6 +123,9 @@ def make_gather(L: int, B: int):
         r0 = (off // 1024) * 8
         rr = off % 1024
         ln = jnp.clip(ln.astype(jnp.int32), 0, L)
-        return call(r0, rr, ln, store2d).astype(jnp.int8).reshape(B, L)
+        out = call(r0, rr, ln, store2d).astype(jnp.int8).reshape(B, L)
+        if packed:
+            out = out[:, 0::2] | (out[:, 1::2] << 4)
+        return out
 
     return g

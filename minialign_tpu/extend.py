@@ -367,8 +367,8 @@ class FillEngine:
         self._q_bases = bases
         self._q_len = lens
 
-    def _gather_fn(self, L):
-        key = ("gather", L)
+    def _gather_fn(self, L, packed=False):
+        key = ("gather", L, packed)
         if key not in self._fns:
             import jax
             import jax.numpy as jnp
@@ -384,13 +384,16 @@ class FillEngine:
                 vals = jnp.take(flat, base[:, None] + safe)
                 ok = (col[None, :] < cap[:, None]) & \
                     ((wrap[:, None] > 0) | (idx < seglen[:, None]))
-                return jnp.where(ok, vals,
+                out = jnp.where(ok, vals,
                                  jnp.int8(band.NCODE)).astype(jnp.int8)
+                if packed:
+                    out = out[:, 0::2] | (out[:, 1::2] << 4)
+                return out
 
             self._fns[key] = g
         return self._fns[key]
 
-    def _build_side(self, specs, L, B):
+    def _build_side(self, specs, L, B, packed=False):
         """specs: per-problem a/b slice specs; returns the (B, L)
         device array + effective lengths. Spec forms:
           ("ref", rid, rev, start, cap, wrap)   wrap>0 = circular mod
@@ -437,10 +440,11 @@ class FillEngine:
             # Clamp the offset to the segment end so padded problems
             # with start past the data still DMA in-bounds.
             off = np.minimum(base + start, base + seglen)
-            arr = pallas_gather.make_gather(L, B)(store2, off, elen)
+            arr = pallas_gather.make_gather(L, B, packed)(store2, off,
+                                                          elen)
         else:
-            arr = self._gather_fn(L)(flat, base, start, cap, seglen,
-                                     wrap)
+            arr = self._gather_fn(L, packed)(flat, base, start, cap,
+                                             seglen, wrap)
         return arr, elen
 
     # byte LUTs for op-code -> path-string builds (op 3 = diagonal is
@@ -462,7 +466,7 @@ class FillEngine:
             self._fns[key] = make_device_traceback(self.p, W)
         dt = self._fns[key]
         rle_d, summary_d = dt(
-            bufs.masks, bufs.dirs, bufs.iheads[:, 0],
+            bufs.masks, bufs.dirs, bufs.iheads,
             res_d.max_score, res_d.max_i, res_d.max_j)
         return (sub, W, rle_d, summary_d)
 
@@ -567,11 +571,18 @@ class FillEngine:
                     zpad_b = ("q", 0, 0, 10**9)
                     aspecs += [zpad_a] * (B - len(sub))
                     bspecs += [zpad_b] * (B - len(sub))
-                    ab, alen = self._build_side(aspecs, la, B)
-                    bb, blen = self._build_side(bspecs, lb, B)
+                    # the 4-bit pack rides inside the gather jit:
+                    # eager strided slicing on device arrays costs
+                    # ~5 ms/dispatch of op-by-op overhead
+                    ab, alen = self._build_side(aspecs, la, B,
+                                                packed=packed_io)
+                    bb, blen = self._build_side(bspecs, lb, B,
+                                                packed=packed_io)
                     alen = np.asarray(alen, np.int32)
                     blen = np.asarray(blen, np.int32)
+                    spec_packed = True
                 else:
+                    spec_packed = False
                     pooled = True
                     ab = self._dispatch_buf("a", (B, la))
                     bb = self._dispatch_buf("b", (B, lb))
@@ -583,7 +594,7 @@ class FillEngine:
                         bb[s, :len(b)] = b
                         alen[s] = len(a)
                         blen[s] = len(b)
-                if packed_io:
+                if packed_io and not spec_packed:
                     # 4-bit pack: nibbles are codes 0-4, lossless
                     ab = ab[:, 0::2] | (ab[:, 1::2] << 4)
                     bb = bb[:, 0::2] | (bb[:, 1::2] << 4)
