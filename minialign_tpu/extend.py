@@ -393,9 +393,10 @@ class FillEngine:
             self._fns[key] = g
         return self._fns[key]
 
-    def _build_side(self, specs, L, B, packed=False):
-        """specs: per-problem a/b slice specs; returns the (B, L)
-        device array + effective lengths. Spec forms:
+    def _side_meta(self, specs, L, B):
+        """Per-problem (base, start, cap, seglen, wrap, elen) rows for
+        a side plus the backing store handles and whether the Pallas
+        DMA-gather fast path applies. Spec forms:
           ("ref", rid, rev, start, cap, wrap)   wrap>0 = circular mod
           ("q", qidx, which, start)             which 1 = revcomp
         """
@@ -431,21 +432,55 @@ class FillEngine:
                 cap[s] = max(0, qlen - st0)
                 elen[s] = cap[s]
         from .dp import pallas_gather
-        if (self.use_pallas and store2 is not None
-                and not wrap.any() and (start >= 0).all()
-                and L % 1024 == 0 and L <= pallas_gather.LMAX):
+        ok_pg = (self.use_pallas and store2 is not None
+                 and not wrap.any() and (start >= 0).all()
+                 and L % 1024 == 0 and L <= pallas_gather.LMAX)
+        return dict(base=base, start=start, cap=cap, seglen=seglen,
+                    wrap=wrap, elen=elen, flat=flat, store2=store2,
+                    ok_pg=ok_pg)
+
+    def _build_side(self, specs, L, B, packed=False):
+        """(B, L) device array + effective lengths for a side."""
+        m = self._side_meta(specs, L, B)
+        from .dp import pallas_gather
+        if m["ok_pg"]:
             # Pallas DMA gather: row-aligned window copies from the
             # resident store; the XLA take() path costs ~8 ns/element
             # (the reason MINIALIGN_DEVICE_SEQS lost in round 2).
             # Clamp the offset to the segment end so padded problems
             # with start past the data still DMA in-bounds.
-            off = np.minimum(base + start, base + seglen)
-            arr = pallas_gather.make_gather(L, B, packed)(store2, off,
-                                                          elen)
+            off = np.minimum(m["base"] + m["start"],
+                             m["base"] + m["seglen"])
+            arr = pallas_gather.make_gather(L, B, packed)(
+                m["store2"], off, m["elen"])
         else:
-            arr = self._gather_fn(L, packed)(flat, base, start, cap,
-                                             seglen, wrap)
-        return arr, elen
+            arr = self._gather_fn(L, packed)(
+                m["flat"], m["base"], m["start"], m["cap"],
+                m["seglen"], m["wrap"])
+        return arr, m["elen"]
+
+    def _fused_fn(self, W, la, lb, trace, B):
+        """gather(a) + gather(b) + 4-bit pack + fill as ONE jit: every
+        separate jit call from Python pays dispatch + tunnel-RPC
+        overhead, and the per-dispatch count (2 gathers + 1 fill per
+        bucket) dominated the warm E2E wall after the transfers were
+        eliminated."""
+        key = ("fused", W, la, lb, trace, B)
+        if key not in self._fns:
+            import jax
+
+            from .dp import pallas_gather
+            fill, packed_io = self._fn(W, la, lb, trace)
+            ga = pallas_gather.make_gather(la, B, packed_io)
+            gb = pallas_gather.make_gather(lb, B, packed_io)
+
+            @jax.jit
+            def f(sa, offa, lna, sb, offb, lnb):
+                return fill(ga(sa, offa, lna), lna,
+                            gb(sb, offb, lnb), lnb)
+
+            self._fns[key] = f
+        return self._fns[key]
 
     # byte LUTs for op-code -> path-string builds (op 3 = diagonal is
     # two chars: "RD" backward / "DR" in rev-token order)
@@ -571,17 +606,35 @@ class FillEngine:
                     zpad_b = ("q", 0, 0, 10**9)
                     aspecs += [zpad_a] * (B - len(sub))
                     bspecs += [zpad_b] * (B - len(sub))
-                    # the 4-bit pack rides inside the gather jit:
-                    # eager strided slicing on device arrays costs
-                    # ~5 ms/dispatch of op-by-op overhead
-                    ab, alen = self._build_side(aspecs, la, B,
-                                                packed=packed_io)
-                    bb, blen = self._build_side(bspecs, lb, B,
-                                                packed=packed_io)
-                    alen = np.asarray(alen, np.int32)
-                    blen = np.asarray(blen, np.int32)
+                    ma = self._side_meta(aspecs, la, B)
+                    mb = self._side_meta(bspecs, lb, B)
+                    alen = np.asarray(ma["elen"], np.int32)
+                    blen = np.asarray(mb["elen"], np.int32)
+                    if ma["ok_pg"] and mb["ok_pg"]:
+                        # gather + pack + fill as ONE jit call (each
+                        # separate call pays dispatch/RPC overhead)
+                        f = self._fused_fn(W, la, lb, trace, B)
+                        offa = np.minimum(ma["base"] + ma["start"],
+                                          ma["base"] + ma["seglen"])
+                        offb = np.minimum(mb["base"] + mb["start"],
+                                          mb["base"] + mb["seglen"])
+                        fn_call = lambda: f(  # noqa: E731
+                            ma["store2"], offa, alen,
+                            mb["store2"], offb, blen)
+                    else:
+                        # the 4-bit pack rides inside the gather jit:
+                        # eager strided slicing on device arrays costs
+                        # ~5 ms/dispatch of op-by-op overhead
+                        ab = self._gather_fn(la, packed_io)(
+                            ma["flat"], ma["base"], ma["start"],
+                            ma["cap"], ma["seglen"], ma["wrap"])
+                        bb = self._gather_fn(lb, packed_io)(
+                            mb["flat"], mb["base"], mb["start"],
+                            mb["cap"], mb["seglen"], mb["wrap"])
+                        fn_call = None
                     spec_packed = True
                 else:
+                    fn_call = None
                     spec_packed = False
                     pooled = True
                     ab = self._dispatch_buf("a", (B, la))
@@ -606,9 +659,11 @@ class FillEngine:
                     # makes fresh arrays implicitly)
                     ab = ab.copy()
                     bb = bb.copy()
+                if fn_call is None:
+                    fn_call = lambda: fn(ab, alen, bb, blen)  # noqa: B023,E731
                 if trace:
                     import os
-                    res_d, bufs = fn(ab, alen, bb, blen)
+                    res_d, bufs = fn_call()
                     if self.use_pallas and \
                             not os.environ.get("MINIALIGN_HOST_TRACE"):
                         pending.append(self._trace_device_dispatch(
@@ -635,7 +690,7 @@ class FillEngine:
                         out[i] = (int(res.max_score[s]), int(res.max_i[s]),
                                   int(res.max_j[s]), tr)
                 else:
-                    res = fn(ab, alen, bb, blen)
+                    res = fn_call()
                     pending_plain.append((sub, res))
         for pend in pending:
             self._trace_device_harvest(out, pend)

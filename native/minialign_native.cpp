@@ -506,6 +506,14 @@ int64_t sketch_seq(const int8_t* codes, int64_t L, int32_t k, int32_t w,
   uint64_t k0 = 0, k1 = 0;
   uint64_t prev = 0;                              // previous window min
   int64_t cnt = 0;
+  // incremental window min (amortized O(1) per base): the O(w)
+  // rescan runs only when the current min's position leaves the
+  // window (~2/w of bases). Tie rule: LAST occurrence in window
+  // order (oldest..newest scan with <=, new element with <=) —
+  // identical to the former full rescan per base.
+  uint64_t vmin = ~0ULL;
+  int64_t pos_min = -1;
+  int64_t rp = 0;                                 // p % w, incremental
   for (int64_t i = 0; i < L; i++) {
     uint64_t c = (uint64_t)(codes[i] & 3);
     k0 = ((k0 << 2) | c) & mask;
@@ -516,16 +524,22 @@ int64_t sketch_seq(const int8_t* codes, int64_t L, int32_t k, int32_t w,
     uint64_t km = strand ? (k1 & mask) : k0;
     uint64_t kx = strand ? k0 : (k1 & mask);
     uint64_t h = (crc32c_u64(kx, kx) ^ km) & mask;
-    uint64_t v = (h << 8) | ((uint64_t)(p % w)) | (strand << 7);
-    ring[(size_t)(p % w)] = v;
-    // window min with LAST-occurrence tie priority in window order
-    // (oldest..newest); window covers positions [p-w+1, p]
-    uint64_t vmin = ~0ULL;
-    int64_t pos_min = p;
-    for (int64_t d = w - 1; d >= 0; d--) {
-      int64_t pj = p - d;
-      uint64_t vv = (pj < 0) ? ~0ULL : ring[(size_t)(((pj % w) + w) % w)];
-      if (vv <= vmin) { vmin = vv; pos_min = pj; }
+    uint64_t v = (h << 8) | ((uint64_t)rp) | (strand << 7);
+    ring[(size_t)rp] = v;
+    if (v <= vmin) {
+      vmin = v;
+      pos_min = p;
+    } else if (pos_min <= p - w) {
+      // min left the window: rescan oldest..newest, keep last on tie
+      vmin = ~0ULL;
+      int64_t pj = p - w + 1;
+      int64_t s = rp + 1;
+      if (s >= w) s = 0;
+      for (int64_t t = 0; t < w; t++, pj++) {
+        uint64_t vv = (pj < 0) ? ~0ULL : ring[(size_t)s];
+        if (vv <= vmin) { vmin = vv; pos_min = pj; }
+        if (++s >= w) s = 0;
+      }
     }
     bool emit = (vmin != prev) || (vmin == v);
     int64_t pos = (vmin == v) ? p : pos_min;
@@ -537,6 +551,7 @@ int64_t sketch_seq(const int8_t* codes, int64_t L, int32_t k, int32_t w,
       cnt++;
     }
     prev = vmin;
+    if (++rp >= w) rp = 0;
   }
   return cnt;
 }
