@@ -100,12 +100,15 @@ def kernel_rates():
 
 def e2e_rate():
     """Run bench_e2e.py in a subprocess (its own workload cache) and
-    parse the JSON line."""
+    parse the JSON line. Prebuilt index: the baseline numbers exclude
+    index-build time ('Index-build time excluded from timings',
+    BASELINE.md), so the comparison does too."""
+    env = dict(os.environ, BENCH_E2E_PREBUILT="1")
     r = subprocess.run(
         [sys.executable,
          os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "bench_e2e.py")],
-        capture_output=True, timeout=5400)
+        capture_output=True, timeout=5400, env=env)
     line = r.stdout.decode().strip().splitlines()[-1]
     return json.loads(line)
 

@@ -43,13 +43,27 @@ LMAX = 1 << 17
 PAD_ROWS = LMAX // 128 + 16
 
 
-def pad_store(flat):
+# grow-only host staging buffers per pool key: np.full over tens of
+# MB costs ~0.6 s on lazily-backed VMs (first-touch page faults,
+# PERF_NOTES.md) — reuse pages and fill only the NCODE pad tail
+_STORE_POOL: dict = {}
+
+
+def pad_store(flat, pool: str | None = None):
     """Host-side: 1D int8 code stream -> (rows, 128) padded store."""
     import numpy as np
     n = len(flat)
     rows = -(-n // 128) + PAD_ROWS
-    out = np.full((rows, 128), NCODE, np.int8)
-    out.reshape(-1)[:n] = flat
+    if pool is not None:
+        buf = _STORE_POOL.get(pool)
+        if buf is None or buf.shape[0] < rows:
+            buf = _STORE_POOL[pool] = np.empty((rows, 128), np.int8)
+        out = buf[:rows]
+    else:
+        out = np.empty((rows, 128), np.int8)
+    f = out.reshape(-1)
+    f[:n] = flat
+    f[n:] = NCODE
     return out
 
 

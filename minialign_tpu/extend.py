@@ -354,7 +354,11 @@ class FillEngine:
         from .dp import pallas_gather
         # one padded (rows, 128) upload serves both the Pallas DMA
         # gather (row-aligned windows) and the XLA fallback (1D view)
-        self._ref_store2 = jax.device_put(pallas_gather.pad_store(flat))
+        self._ref_store2 = jax.device_put(
+            pallas_gather.pad_store(flat, pool="ref"))
+        # pooled staging: the next set_index refills the same pages,
+        # so the upload must complete before this call returns
+        self._ref_store2.block_until_ready()
         self._ref_flat = self._ref_store2.reshape(-1)
         self._ref_fw = fw_bases
         self._ref_rv = rv_bases
@@ -375,7 +379,9 @@ class FillEngine:
             lens.append(len(c))
         flat = np.concatenate(parts) if parts else np.zeros(1, np.int8)
         from .dp import pallas_gather
-        self._q_store2 = jax.device_put(pallas_gather.pad_store(flat))
+        self._q_store2 = jax.device_put(
+            pallas_gather.pad_store(flat, pool="q"))
+        self._q_store2.block_until_ready()
         self._q_flat = self._q_store2.reshape(-1)
         self._q_bases = bases
         self._q_len = lens
