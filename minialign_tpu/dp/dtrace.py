@@ -97,8 +97,16 @@ def make_device_traceback(p: ScoreParams, W: int):
             return jax.lax.dynamic_update_slice_in_dim(
                 acc, pc, g * GC * BLK * QS, axis=1)
 
+        # only blocks up to the highest walk start are reachable (the
+        # walk moves strictly backward); buckets are padded well past
+        # the real problem sizes, so bounding the repack there cuts
+        # its bandwidth ~2-3x (cells past the bound stay zeros and
+        # are never probed)
+        ng_need = jnp.minimum(
+            jnp.max(jnp.clip(ai + bj - 2, 0, None)) // (GC * BLK) + 1,
+            NG)
         codes = jax.lax.fori_loop(
-            0, NG, repack_group,
+            0, ng_need, repack_group,
             jnp.zeros((B, NB * BLK * QS), jnp.uint8))
 
         def cell_code(pp, q):
@@ -207,6 +215,7 @@ def make_device_traceback(p: ScoreParams, W: int):
             in_e = live & ~at_i0 & ~at_j0 & ~oob & (phase == 2)
 
             hb, vb, eb, fb = probe(pp, q)
+
 
             # dispatch: head tests the h side only; tail tests v first,
             # then falls through to the head dispatch at the same cell
