@@ -66,7 +66,9 @@ class FillResult(NamedTuple):
 
 
 class TraceBuffers(NamedTuple):
-    masks: jax.Array       # (B, NB, BLK, 6, 2) uint32 packed lane masks
+    masks: jax.Array       # (B, NB, BLK, 16) uint32 packed cell codes
+                           # (word r bits [8f, 8f+6) = lane r+16f's
+                           # 6-bit plane code; see _pack_codes)
     dirs: jax.Array        # (B, NB) uint32: per-block direction bits
                            # (bit s of block k = step k*32+s; 1 = down)
     iheads: jax.Array      # (B, NB) int32: ihead at each block start
@@ -138,15 +140,27 @@ def _init_band(p: ScoreParams, W: int, B: int, a, b):
     )
 
 
-def _pack_bits(mask: jax.Array) -> jax.Array:
-    """(B, W<=64) bool -> (B, 2) uint32 lane bit-pack."""
-    B, W = mask.shape
-    m = mask.astype(jnp.uint32)
-    if W < 64:
-        m = jnp.pad(m, ((0, 0), (0, 64 - W)))
-    m = m.reshape(B, 2, 32)
-    w = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    return jnp.sum(m * w[None, None, :], axis=-1, dtype=jnp.uint32)
+def _pack_codes(masks) -> jax.Array:
+    """6 x (B, W<=64) bool -> (B, 16) uint32 per-CELL code pack.
+
+    Word r carries the 6-bit plane codes of lanes q = r + 16*f at
+    bits [8*f, 8*f+6), f = 0..W//16-1 (one int8 field per lane). This
+    is the ONE canonical trace-buffer layout: the device walker
+    gathers a single element per probed cell (dp/dtrace.py cell_code)
+    instead of 6+ plane words, and the fill kernels pack it with a
+    handful of shifted selects instead of a 32-way bit reduction."""
+    B, W = masks[0].shape
+    code = None
+    for mi, m in enumerate(masks):
+        t = jnp.where(m, jnp.uint32(1 << mi), jnp.uint32(0))
+        code = t if code is None else (code | t)
+    if W < 16:
+        code = jnp.pad(code, ((0, 0), (0, 16 - W)))
+        W = 16
+    out = code[:, 0:16]
+    for f in range(1, W // 16):
+        out = out | (code[:, 16 * f:16 * (f + 1)] << jnp.uint32(8 * f))
+    return out
 
 
 def _step(p: ScoreParams, W: int, st, anext, bnext, store_masks: bool):
@@ -216,14 +230,14 @@ def _step(p: ScoreParams, W: int, st, anext, bnext, store_masks: bool):
     # f.all/e.all (gaba.c:1625/1631: te = max(de, t), bit = te == t,
     # i.e. the NEXT cell's E/F opens from this cell's S; ties open)
     if store_masks:
-        masks = jnp.stack([
-            _pack_bits(S_new == SsrcF - gfa),
-            _pack_bits(S_new == F_new),
-            _pack_bits(S_new == SsrcE - gfb),
-            _pack_bits(S_new == E_new),
-            _pack_bits(S_new - gi >= F_new),
-            _pack_bits(S_new - gi >= E_new),
-        ], axis=1)                            # (B, 6, 2)
+        masks = _pack_codes([
+            S_new == SsrcF - gfa,
+            S_new == F_new,
+            S_new == SsrcE - gfb,
+            S_new == E_new,
+            S_new - gi >= F_new,
+            S_new - gi >= E_new,
+        ])                                    # (B, 16) cell codes
     else:
         masks = None
 
@@ -308,7 +322,7 @@ def make_fill(p: ScoreParams, W: int, max_blocks: int, trace: bool):
 
         if trace:
             bufs = TraceBuffers(
-                masks=jnp.zeros((B, max_blocks, BLK, 6, 2), jnp.uint32),
+                masks=jnp.zeros((B, max_blocks, BLK, 16), jnp.uint32),
                 dirs=jnp.zeros((B, max_blocks), jnp.uint32),
                 iheads=jnp.zeros((B, max_blocks), jnp.int32),
                 rprevs=jnp.zeros((B, max_blocks), jnp.int32),
@@ -347,7 +361,7 @@ def make_fill(p: ScoreParams, W: int, max_blocks: int, trace: bool):
 
             st, outs = jax.lax.scan(scan_step, st, None, length=BLK)
             if trace:
-                downs, masks = outs             # (BLK,B), (BLK,B,6,2)
+                downs, masks = outs             # (BLK,B), (BLK,B,16)
                 dirbits = jnp.sum(
                     downs.astype(jnp.uint32).T
                     * (jnp.uint32(1)
@@ -355,8 +369,8 @@ def make_fill(p: ScoreParams, W: int, max_blocks: int, trace: bool):
                     axis=1, dtype=jnp.uint32)
                 bufs = bufs._replace(
                     masks=jax.lax.dynamic_update_slice(
-                        bufs.masks, masks.transpose(1, 0, 2, 3)[:, None],
-                        (0, blk, 0, 0, 0)),
+                        bufs.masks, masks.transpose(1, 0, 2)[:, None],
+                        (0, blk, 0, 0)),
                     dirs=bufs.dirs.at[:, blk].set(dirbits))
 
             # X-drop test at block end (gaba.c:1738: TERM when the

@@ -51,9 +51,10 @@ def make_device_traceback(p: ScoreParams, W: int):
     (rle (T, B) int8 backward run entries, summary (10, B) int32 with
     rows SUMMARY_ROWS — op/entry counts, out-of-band status, and the
     walk counters packed into one array so the host pays ONE transfer).
-    masks: (B, NB, BLK, 6, 2) uint32, dirs: (B, NB) uint32, as
-    produced by the fill (already moveaxis'd); T = NB*BLK + 2 entries
-    worst case (every entry carries >= 1 op)."""
+    masks: (B, NB, BLK, 16) uint32 cell codes (dp/band.py
+    _pack_codes), dirs: (B, NB) uint32, as produced by the fill;
+    T = NB*BLK + 2 entries worst case (every entry carries >= 1
+    op)."""
     gi, ge = p.gi, p.ge
     gfa_eff, gfb_eff = p.gfa_eff, p.gfb_eff
     model = p.model
@@ -66,55 +67,22 @@ def make_device_traceback(p: ScoreParams, W: int):
         B, NB = dirs.shape
         T = NB * BLK + 2
 
-        # ---- one-shot repack: per-CELL 6-bit codes (round-3 perf).
-        # The walk probes 6 mask planes per visited cell; gathering 6+
-        # 32-lane words per probe made each while iteration ~78 us of
-        # dependent take_along_axis traffic (5+ s per 128-problem
-        # batch). One vectorized pass folds the planes into a single
-        # int8 code per (step, lane) cell — the walk then gathers ONE
-        # element per cell. Bandwidth cost of the repack is a few ms.
-        QS = 64
-        mw_ = masks.astype(jnp.uint32)                # (B, NB, BLK, 6, 2)
-        sh5 = jnp.arange(32, dtype=jnp.uint32)
-
-        # chunked over block groups: the expansion's uint32
-        # intermediates are 4-24x the uint8 output, so a whole-buffer
-        # expression OOMs HBM at 20 kb-bucket sizes. fori_loop +
-        # consistent dynamic_slice/update clamping keeps intermediates
-        # at one group (the clamped final partial group recomputes a
-        # suffix window — same values, harmless).
-        GC = min(64, NB)
-        NG = -(-NB // GC)
-
-        def repack_group(g, acc):
-            sl = jax.lax.dynamic_slice_in_dim(
-                mw_, g * GC, GC, axis=1)            # (B, GC, BLK, 6, 2)
-            pc = None
-            for mi in range(6):
-                pb = ((sl[:, :, :, mi, :, None] >> sh5) & 1) << mi
-                pc = pb if pc is None else (pc | pb)
-            pc = pc.astype(jnp.uint8).reshape(B, GC * BLK * QS)
-            return jax.lax.dynamic_update_slice_in_dim(
-                acc, pc, g * GC * BLK * QS, axis=1)
-
-        # only blocks up to the highest walk start are reachable (the
-        # walk moves strictly backward); buckets are padded well past
-        # the real problem sizes, so bounding the repack there cuts
-        # its bandwidth ~2-3x (cells past the bound stay zeros and
-        # are never probed)
-        ng_need = jnp.minimum(
-            jnp.max(jnp.clip(ai + bj - 2, 0, None)) // (GC * BLK) + 1,
-            NG)
-        codes = jax.lax.fori_loop(
-            0, ng_need, repack_group,
-            jnp.zeros((B, NB * BLK * QS), jnp.uint8))
+        # the fill emits per-CELL 6-bit plane codes directly
+        # (dp/band.py _pack_codes: word r of a step packs lane
+        # q = r + 16*f at bits [8f, 8f+6)), so a probe gathers ONE
+        # element per visited cell — round 3's first form gathered 6+
+        # plane words per probe (~78 us per while iteration, 5+ s per
+        # 128-problem batch) and then needed an 805 MB repack pass
+        codes = masks.astype(jnp.uint32).reshape(B, NB * BLK * 16)
 
         def cell_code(pp, q):
             """(B, ...) int32 6-bit plane code at band step pp, lane q
             (clipped; callers gate out-of-range)."""
-            idx = jnp.clip(pp, 0, None) * QS + jnp.clip(q, 0, W - 1)
-            return jnp.take_along_axis(codes, idx, axis=1).astype(
-                jnp.int32)
+            qc = jnp.clip(q, 0, W - 1)
+            idx = jnp.clip(pp, 0, None) * 16 + (qc & 15)
+            w = jnp.take_along_axis(codes, idx, axis=1)
+            return ((w >> ((qc >> 4) << 3).astype(jnp.uint32))
+                    & 0x3F).astype(jnp.int32)
 
         def code_bits(c):
             """gaba mask algebra on a packed cell code: hb/vb/eb/fb."""

@@ -323,7 +323,7 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
             # buffer is reused, overlapping the HBM write with a full
             # segment (K*BLK steps) of compute. A synchronous
             # start+wait stalled ~60 ns/step on v5e (round-3 ablation).
-            # destination is (nchunk, NB, BLK, 6, 2, B): each chunk owns
+            # destination is (nchunk, NB, BLK, 16, B): each chunk owns
             # a contiguous leading-dim block, so the per-segment DMA is
             # one 0.8 MB burst. Slicing lanes of a wider array instead
             # (chunk*B:chunk*B+B on the last dim) degenerates to ~1.5k
@@ -471,43 +471,22 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
 
                     if trace:
                         dirbits = dirbits | (down_i << t)
-                        # int32 packing: sums of distinct powers of
-                        # two wrap to the same bits as uint32 OR would.
-                        # All 6 masks pack in ONE fused mul + grouped
-                        # reduction + ONE (12, B) store: per-mask
-                        # reduce->concat->store chains relayout on
-                        # every store and cost ~60 ns/step extra
-                        # (round-3 slopeR ablation).
-                        if W == 64:
-                            # select the weight directly under the mask
-                            # (one select per mask) instead of
-                            # bool->int32 convert + multiply (two ops)
-                            w64 = (jnp.int32(1) << (
-                                jax.lax.broadcasted_iota(
-                                    jnp.int32, (W, B), 0) % 32))
-                            zero = jnp.zeros((W, B), jnp.int32)
-                            allm = jnp.concatenate(
-                                [jnp.where(m, w64, zero) for m in masks],
-                                axis=0)
-                            g = jnp.sum(
-                                allm.reshape(12, 32, B), axis=1)
-                            mstage_ref[par, blk, t] = g
-                        else:
-                            w32 = (jnp.int32(1) << (
-                                jax.lax.broadcasted_iota(
-                                    jnp.int32, (W, B), 0) % 32))
-                            zero_row = jnp.zeros((1, B), jnp.int32)
-                            rows = []
-                            for m in masks:
-                                mw = m.astype(jnp.int32) * w32
-                                rows.append(jnp.sum(
-                                    mw[:min(32, W)], axis=0,
-                                    keepdims=True))
-                                rows.append(jnp.sum(
-                                    mw[32:], axis=0, keepdims=True)
-                                    if W > 32 else zero_row)
-                            mstage_ref[par, blk, t] = \
-                                jnp.concatenate(rows, axis=0)
+                        # per-CELL code pack (dp/band.py _pack_codes):
+                        # 6 shifted selects + ORs + an aligned-slice
+                        # field merge — no 32-way bit reduction (the
+                        # former word layout cost ~70 ns/step; this is
+                        # ~half) and the device walker gathers ONE
+                        # element per probed cell with no repack pass
+                        zero = jnp.zeros((W, B), jnp.int32)
+                        code = None
+                        for mi, m in enumerate(masks):
+                            t_ = jnp.where(m, jnp.int32(1 << mi), zero)
+                            code = t_ if code is None else (code | t_)
+                        g = code[0:16]
+                        for fld in range(1, W // 16):
+                            g = g | (code[16 * fld:16 * (fld + 1)]
+                                     << (8 * fld))
+                        mstage_ref[par, blk, t] = g
 
                     track = (gmax, gi_, gj_, cdrop, s_c_new, pp + 1)
                     if trace:
@@ -709,7 +688,7 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             scratch.append(pltpu.VMEM((SUPL, BC), jnp.int8))
         if trace:
             out_shape = state_shapes + [
-                jax.ShapeDtypeStruct((nchunk, NB, BLK, 12, BC),
+                jax.ShapeDtypeStruct((nchunk, NB, BLK, 16, BC),
                                      jnp.int32),
                 jax.ShapeDtypeStruct((NB, B), jnp.int32),   # dirs
                 jax.ShapeDtypeStruct((NB, B), jnp.int32),   # iheads
@@ -717,7 +696,7 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             ]
             out_specs = state_specs + [anys] + [chunked((NB, B))] * 3
             scratch = scratch + [
-                pltpu.VMEM((2, K, BLK, 12, BC), jnp.int32),
+                pltpu.VMEM((2, K, BLK, 16, BC), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
@@ -745,7 +724,7 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             masks, dirs, iheads, rprevs = outs[6], outs[7], outs[8], \
                 outs[9]
             mk = jnp.transpose(masks, (0, 4, 1, 2, 3)).reshape(
-                B, NB, BLK, 6, 2)[:B0]
+                B, NB, BLK, 16)[:B0]
             bufs = TraceBuffers(
                 masks=mk.view(jnp.uint32),
                 dirs=dirs[:, :B0].T.view(jnp.uint32),

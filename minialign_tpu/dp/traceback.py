@@ -68,7 +68,7 @@ def _identity(p: ScoreParams, score: int, dcnt: int, gap_penalty: int) -> float:
 
 
 def traceback_one(p: ScoreParams, W: int,
-                  masks: np.ndarray,    # (NB, BLK, 6, 2) uint32
+                  masks: np.ndarray,    # (NB, BLK, 16) uint32 cell codes
                   dirs: np.ndarray,     # (NB,) uint32
                   iheads: np.ndarray,   # (NB,) int32
                   score: int, ai: int, bj: int) -> TraceResult | None:
@@ -111,8 +111,8 @@ def traceback_one(p: ScoreParams, W: int,
         return int(dbits[pp]) if pp >= 0 else 0         # p=-1 was a down
 
     def mbit(pp, mi, qq):
-        w = masks[pp // BLK, pp % BLK, mi]
-        return (int(w[qq >> 5]) >> (qq & 31)) & 1
+        w = masks[pp // BLK, pp % BLK, qq & 15]
+        return (int(w) >> (((qq >> 4) << 3) + mi)) & 1
 
     gi, ge = p.gi, p.ge
     i, j = int(ai), int(bj)

@@ -43,7 +43,8 @@ struct TraceOut {
   int32_t status;        // 0 ok, 1 out-of-band (None)
 };
 
-// masks: (NB, BLK, 6, 2) uint32 contiguous; dirs: (NB,) uint32.
+// masks: (NB, BLK, 16) uint32 cell codes (dp/band.py _pack_codes);
+// dirs: (NB,) uint32.
 // path_fwd / path_rev must each hold >= 2*(ai+bj) bytes.
 // path_fwd: forward-order ops 'D' (query base) / 'R' (ref base).
 // path_rev: op-order reversed with diagonals kept as atomic "DR".
@@ -71,10 +72,12 @@ int trace_one(const uint32_t* masks, const uint32_t* dirs,
   auto dir_at = [&](int64_t pp) -> int {
     return pp >= 0 ? (int)((dirs[pp / BLK] >> (pp % BLK)) & 1) : 0;
   };
+  // cell-code layout (dp/band.py _pack_codes): word r of a step packs
+  // lane q = r + 16*f's 6-bit plane code at bits [8f, 8f+6)
   auto mbit = [&](int64_t pp, int mi, int qq) -> int {
-    const uint32_t* w = masks + ((pp / BLK) * BLK + (pp % BLK)) * 12
-                              + mi * 2;
-    return (w[qq >> 5] >> (qq & 31)) & 1;
+    uint32_t w = masks[((pp / BLK) * BLK + (pp % BLK)) * 16
+                       + (qq & 15)];
+    return (w >> (((qq >> 4) << 3) + mi)) & 1;
   };
   // mask indices (dp/band.py: MK_GFA, MK_F, M_GFB, M_E, M_FO, M_EO)
   const int MK_GFA = 0, MK_F = 1, MK_GFB = 2, MK_E = 3,
