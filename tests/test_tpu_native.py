@@ -30,6 +30,11 @@ def test_tpu_kernel_parity_subprocess():
             "PALLAS_AXON_TPU_GEN", "PALLAS_AXON_POOL_IPS",
             "PALLAS_AXON_REMOTE_COMPILE")
     env = {k: os.environ[k] for k in base if k in os.environ}
+    # per-round artifact: the parity run records what it compared
+    # (TPU_PARITY_r*.json at the repo root, VERDICT round-2 item 8)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["TPU_PARITY_ARTIFACT"] = os.path.join(root,
+                                              "TPU_PARITY_r03.json")
     r = None
     for attempt in range(3):   # tunneled backends flake under load
         r = subprocess.run(

@@ -7,6 +7,7 @@ the pytest process, which forces CPU).
 Exit 0 + "TPU_PARITY_OK" on success; exit 3 when only CPU is
 available (callers skip)."""
 
+import os
 import sys
 
 import numpy as np
@@ -101,6 +102,26 @@ def main():
                       "R" if o == dtrace.OP_R else "RD"
                       for o in ops)[::-1]
         assert fwd == want.path, k
+
+    # round artifact (VERDICT round-2 item 8): record what was
+    # compared so the per-round parity claim is checkable without
+    # rerunning the tunnel
+    import json
+    art = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "jax": jax.__version__,
+        "n_problems": int(B),
+        "checks": ["fill score/max-pos pallas==xla",
+                   "dirs byte-equal", "cell-code masks byte-equal",
+                   "device-RLE trace == host walker path, all lanes"],
+        "n_trace_lanes_compared": int(B),
+        "status": "ok",
+    }
+    out_path = os.environ.get("TPU_PARITY_ARTIFACT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(art, f, indent=1)
     print("TPU_PARITY_OK")
 
 
