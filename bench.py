@@ -113,6 +113,20 @@ def e2e_rate():
     return json.loads(line)
 
 
+def scaling_rate():
+    """1 vs 2 jax.distributed CPU processes on a fixed workload
+    (bench_scaling.py); None on failure. The dev VM has 1 core, so
+    the recorded number demonstrates the harness (ceiling ~0.5), not
+    multi-host hardware."""
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "bench_scaling.py")],
+        capture_output=True, timeout=1800)
+    line = r.stdout.decode().strip().splitlines()[-1]
+    return json.loads(line)
+
+
 def main():
     from minialign_tpu.native import tune_malloc
     tune_malloc()
@@ -122,6 +136,11 @@ def main():
     except Exception as exc:   # never leave the driver metric-less
         print(f"[bench] e2e failed: {exc}", file=sys.stderr)
         e = None
+    try:
+        s = scaling_rate()
+    except Exception as exc:
+        print(f"[bench] scaling failed: {exc}", file=sys.stderr)
+        s = None
 
     if e is not None:
         out = {
@@ -137,6 +156,12 @@ def main():
             "kernel_vs_ref_gcups": round(
                 (k.get("notrace") or 0) / REF_GCUPS, 3),
         }
+        if s is not None:
+            out["scaling_1to2_efficiency"] = s["value"]
+            out["scaling_note"] = (
+                f"t1={s['t1_s']}s t2={s['t2_s']}s on "
+                f"{s['host_cores']} core(s); "
+                "1-core VM ceiling ~0.5")
     else:
         g = k.get("notrace") or 0.0
         out = {
