@@ -478,6 +478,54 @@ class FillEngine:
                 m["seglen"], m["wrap"])
         return arr, m["elen"]
 
+    def _prewarm(self, need: list) -> None:
+        """Compile this round's missing fused kernels CONCURRENTLY:
+        the remote-compile backend parallelizes across threads (4
+        fresh 20 kb-bucket kernels compile in ~19 s together vs
+        ~20-40 s EACH serially), so a cold round pays max() instead of
+        sum() of its compile times. Dummy length-0 calls both compile
+        and execute-warm the jit caches; the device-trace walker for
+        each trace bucket warms in the same thread."""
+        import threading
+
+        missing = [key for key in need
+                   if ("fused",) + key not in self._fns]
+        if len(missing) < 2:
+            return
+
+        def warm(key):
+            W, la, lb, trace, B = key
+            try:
+                f = self._fused_fn(W, la, lb, trace, B)
+                z = np.zeros(B, np.int32)
+                r = f(self._ref_store2, z, z, self._q_store2, z, z)
+                if trace:
+                    res_d, bufs = r
+                    from .dp.dtrace import make_device_traceback
+                    dkey = ("dtrace", W)
+                    with self._warm_lock:
+                        if dkey not in self._fns:
+                            self._fns[dkey] = \
+                                make_device_traceback(self.p, W)
+                    dt = self._fns[dkey]
+                    rle, summ = dt(bufs.masks, bufs.dirs, bufs.iheads,
+                                   res_d.max_score, res_d.max_i,
+                                   res_d.max_j)
+                    np.asarray(summ[:1, :1])
+                else:
+                    np.asarray(r.max_score[:1])
+            except Exception:
+                pass        # the real dispatch surfaces any error
+
+        if not hasattr(self, "_warm_lock"):
+            self._warm_lock = threading.Lock()
+        ths = [threading.Thread(target=warm, args=(k,), daemon=True)
+               for k in missing]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+
     def _fused_fn(self, W, la, lb, trace, B):
         """gather(a) + gather(b) + 4-bit pack + fill as ONE jit: every
         separate jit call from Python pays dispatch + tunnel-RPC
@@ -608,6 +656,13 @@ class FillEngine:
             la = self._bucket(ra + band.TAIL_N + 128)
             lb = self._bucket(rb + band.TAIL_N + 128)
             groups.setdefault((kind == "up", W, la, lb), []).append(i)
+        if self.use_pallas and getattr(self, "_ref_store2",
+                                       None) is not None and \
+                getattr(self, "_q_store2", None) is not None:
+            self._prewarm([
+                (W, la, lb, trace,
+                 max(128, -(-min(len(idxs), self.batch) // 128) * 128))
+                for (trace, W, la, lb), idxs in groups.items()])
         for (trace, W, la, lb), idxs in groups.items():
             fn, packed_io = self._fn(W, la, lb, trace)
             for base in range(0, len(idxs), self.batch):

@@ -47,10 +47,17 @@ class MMIndex:
     circular: np.ndarray     # (n_seq,) uint8
     codes: list              # list of (L,) int8 2-bit code arrays
     # minimizer table
-    keys: np.ndarray         # (K,) uint64 sorted distinct hashes
-    offsets: np.ndarray      # (K+1,) int64 CSR offsets
+    keys: np.ndarray         # (K,) uint64 distinct hashes — bucket-
+                             # major (ascending within each 2^b low-
+                             # bit bucket) when bkt_off is set, else
+                             # globally sorted (legacy layout)
+    offsets: np.ndarray      # (K+1,) uint32/int64 CSR offsets
     vals_pos: np.ndarray     # (V,) uint32 k-mer start positions
     vals_rid: np.ndarray     # (V,) uint32 (sid<<1 | strand)
+    # two-stage layout (the reference's own design, minialign.c:2693):
+    # bkt_off[j] .. bkt_off[j+1] = keys of first-stage bucket j
+    b: int = 14
+    bkt_off: np.ndarray | None = None
 
     @property
     def n_seq(self) -> int:
@@ -82,13 +89,21 @@ class MMIndex:
 
     def lookup(self, h: np.ndarray):
         """Batched lookup: returns (start, count) per query hash; count=0
-        for missing keys."""
+        for missing keys. Two-stage: the low-b-bit bucket table (the
+        reference's first stage) narrows each query to a handful of
+        keys, then a vectorized lower_bound finds the key — ~2 cache
+        misses per query instead of a 20-level global binary search."""
         h = np.asarray(h, np.uint64)
         if len(self.keys) and len(h):
-            s, heads, jmask = self._dir_table()
-            j = np.minimum((h >> s).astype(np.int64), jmask)
-            lo = heads[j]
-            hi = heads[j + 1]
+            if self.bkt_off is not None:
+                j = (h & np.uint64((1 << self.b) - 1)).astype(np.int64)
+                lo = self.bkt_off[j]
+                hi = self.bkt_off[j + 1]
+            else:               # legacy globally-sorted key table
+                s, heads, jmask = self._dir_table()
+                j = np.minimum((h >> s).astype(np.int64), jmask)
+                lo = heads[j]
+                hi = heads[j + 1]
             # vectorized lower_bound within each bucket
             while True:
                 live = lo < hi
@@ -104,10 +119,13 @@ class MMIndex:
         idx_c = np.minimum(idx, len(self.keys) - 1) if len(self.keys) else idx
         found = np.zeros(len(h), bool) if len(self.keys) == 0 else \
             (self.keys[idx_c] == h) & (idx < len(self.keys))
-        start = np.where(found, self.offsets[np.minimum(idx, len(self.offsets) - 2)], 0)
-        cnt = np.where(found,
-                       self.offsets[np.minimum(idx + 1, len(self.offsets) - 1)]
-                       - start, 0)
+        off = self.offsets
+        start = np.where(
+            found, off[np.minimum(idx, len(off) - 2)].astype(np.int64), 0)
+        cnt = np.where(
+            found,
+            off[np.minimum(idx + 1, len(off) - 1)].astype(np.int64)
+            - start, 0)
         return start.astype(np.int64), cnt.astype(np.int64)
 
     def _arrays(self, prefix: str = "") -> dict:
@@ -119,6 +137,9 @@ class MMIndex:
             "keys": self.keys, "offsets": self.offsets,
             "vals_pos": self.vals_pos, "vals_rid": self.vals_rid,
         }
+        if self.bkt_off is not None:
+            d["bmeta"] = np.asarray([self.b], np.int64)
+            d["bkt_off"] = self.bkt_off
         d.update({f"seq{i}": c for i, c in enumerate(self.codes)})
         return {prefix + k: v for k, v in d.items()}
 
@@ -135,6 +156,10 @@ class MMIndex:
             keys=z[prefix + "keys"], offsets=z[prefix + "offsets"],
             vals_pos=z[prefix + "vals_pos"],
             vals_rid=z[prefix + "vals_rid"],
+            b=int(z[prefix + "bmeta"][0]) if prefix + "bmeta" in z
+            else 14,
+            bkt_off=z[prefix + "bkt_off"] if prefix + "bkt_off" in z
+            else None,
         )
 
     def save(self, path: str) -> None:
@@ -169,18 +194,31 @@ def load_blocks(path: str) -> list:
 def build_index(params: IndexParams, names: Sequence[str],
                 codes: Sequence[np.ndarray],
                 circular: Sequence[bool] | None = None) -> MMIndex:
-    """Build the index from 2-bit-coded reference sequences."""
+    """Build the index from 2-bit-coded reference sequences.
+
+    Bucket-major layout (the reference's own two-stage design,
+    minialign.c:2693-2997): minimizers live in 2^b first-stage buckets
+    keyed by the LOW hash bits; within a bucket, keys ascend (= ksort
+    of hrem = h >> b) and each key's hits keep ksort's exact equal-key
+    permutation of the arrival order. The native path streams in two
+    sketch passes (count, then scatter straight into the final value
+    arrays) and sorts bucket-by-bucket, so peak memory is the FINAL
+    index plus one u32 hrem array — no global permutation gathers
+    (round 2 peaked at 24.5 GB/Gb; this is ~12 bytes/minimizer)."""
     k, w = params.k, params.w
     circ = np.asarray(
         [params.circular_all or (n in set(params.circular))
          for n in names] if circular is None else list(circular), np.uint8)
 
-    hs, ps, rs = [], [], []
-    for sid, c in enumerate(codes):
+    b = int(getattr(params, "b", 14))
+    nbkt = 1 << b
+    mask = np.uint64(nbkt - 1)
+
+    def _prep(sid):
         # int8 all the way to the sketcher: the int64 widening cost 8x
         # the bytes for nothing (the native sketch takes int8; the
         # numpy fallback widens internally)
-        arr = np.asarray(c, np.int8) & 3
+        arr = np.asarray(codes[sid], np.int8) & 3
         if circ[sid]:
             # circular "nori-shiro" tail wrap (mm_sketch_cap,
             # minialign.c:2436-2443 via mm_idx_worker:2795-2797): the
@@ -190,86 +228,108 @@ def build_index(params: IndexParams, names: Sequence[str],
             # continue past len (handled by mm_search_load_pos's
             # over-end adjustment on the query side)
             arr = np.concatenate([arr, arr[:min(len(arr), w)]])
-        h, pos, strand = sketch(arr, k, w)
-        hs.append(h)
-        ps.append(pos.astype(np.uint32))
-        rs.append(((sid << 1) | strand.astype(np.uint32)).astype(np.uint32))
-    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
-    pos = np.concatenate(ps) if ps else np.empty(0, np.uint32)
-    rid = np.concatenate(rs) if rs else np.empty(0, np.uint32)
+        return arr
 
-    # per-bucket ksort ordering (mm_idx_drain pushes each minimizer
-    # into bucket h & mask in sequence order, then radix_sort_128x
-    # keys each bucket on hrem = h >> b alone, minialign.c:2837+2882):
-    # the multi-hit list order of every hash is ksort's equal-key
-    # permutation of the push order, which seed collection (and thus
-    # chaining and output order) observe. Buckets of <= 64 entries
-    # reduce to a stable insertion sort on hrem.
     from .. import native
-    b = int(getattr(params, "b", 14))
-    order = native.idx_bucket_sort(h, b) if native.available() else None
-    if order is None:
-        from ..ksort import ks_radix128
-        mask = np.uint64((1 << b) - 1)
-        bucket = (h & mask).astype(np.int64)
-        border = np.argsort(bucket, kind="stable")
-        hb = h[border]
-        bsorted = bucket[border]
-        starts = np.flatnonzero(np.diff(bsorted)) + 1
-        starts = np.concatenate([[0], starts, [len(h)]])
-        final = np.empty(len(h), np.int64)
-        for bi in range(len(starts) - 1):
-            s0, s1 = int(starts[bi]), int(starts[bi + 1])
-            hrem = (hb[s0:s1] >> np.uint64(b))
-            final[s0:s1] = s0 + ks_radix128(hrem)
-        order = border[final] if len(h) else final
+    stream = native.available() and 0 < (2 * k - b) <= 32
 
-    # equal-h runs are contiguous within a bucket; re-lay the runs out
-    # in key-ascending order (each run keeps its internal ksort order)
-    # so the CSR binary-search lookup applies unchanged. All gathers
-    # compose into ONE permutation per payload array (bucket order ∘
-    # run re-layout) — each avoided materialization is ~GBs at genome
-    # scale.
-    if len(h):
-        hb2 = h[order]
-        runs = np.flatnonzero(hb2[1:] != hb2[:-1]) + 1
-        run_start = np.concatenate([[0], runs]).astype(np.int64)
-        run_len = np.diff(np.concatenate(
-            [run_start, [len(h)]])).astype(np.int64)
-        run_h = hb2[run_start]
-        del hb2
-        korder = np.argsort(run_h, kind="stable")
-        # vectorized run re-layout (a per-run Python comprehension here
-        # allocated ~1 small array per distinct k-mer — hours at Gb
-        # scale): gather = each reordered run's start + within-run iota
-        st2 = run_start[korder]
-        ln2 = run_len[korder]
-        tot = int(ln2.sum())
-        gather = np.repeat(st2, ln2) + (
-            np.arange(tot, dtype=np.int64)
-            - np.repeat(np.cumsum(ln2) - ln2, ln2))
-        final_perm = order[gather]
-        del gather
-        h, pos, rid = h[final_perm], pos[final_perm], rid[final_perm]
-        del final_perm
-        keys = run_h[korder]
-        counts = ln2
-        offsets = np.zeros(len(keys) + 1, np.int64)
-        np.cumsum(counts, out=offsets[1:])
+    if stream:
+        # pass 1: per-bucket counts only (triples discarded — the
+        # second sketch pass is far cheaper than holding them)
+        counts = np.zeros(nbkt, np.int64)
+        total = 0
+        for sid in range(len(codes)):
+            h, _, _ = sketch(_prep(sid), k, w)
+            counts += np.bincount((h & mask).astype(np.int64),
+                                  minlength=nbkt)
+            total += len(h)
+        boff = np.zeros(nbkt + 1, np.int64)
+        np.cumsum(counts, out=boff[1:])
+        del counts
+        # pass 2: scatter each chunk straight into bucket extents of
+        # the FINAL value arrays (vp/vr become vals_pos/vals_rid)
+        hs = np.empty(total, np.uint32)      # hrem per entry
+        vp = np.empty(total, np.uint32)
+        vr = np.empty(total, np.uint32)
+        cursors = boff[:-1].copy()
+        for sid in range(len(codes)):
+            h, pos, strand = sketch(_prep(sid), k, w)
+            rid = ((sid << 1) | strand.astype(np.uint32)) \
+                .astype(np.uint32)
+            native.idx_scatter(h, pos.astype(np.uint32), rid, b,
+                               cursors, hs, vp, vr)
+        del cursors
+        nk = native.idx_sort_count(hs, vp, vr, boff)
+        keys = np.empty(nk, np.uint64)
+        offsets = np.empty(nk + 1, np.uint32)
+        bkt_off = np.empty(nbkt + 1, np.int64)
+        native.idx_emit(hs, boff, b, keys, offsets, bkt_off)
+        del hs, boff
+        pos_out, rid_out = vp, vr
+        run_cnt = offsets[1:] - offsets[:-1]             # u32
     else:
-        keys = np.empty(0, np.uint64)
-        counts = np.empty(0, np.int64)
-        offsets = np.zeros(1, np.int64)
+        # numpy fallback: same layout, all triples in memory
+        hs_l, ps_l, rs_l = [], [], []
+        for sid in range(len(codes)):
+            h, pos, strand = sketch(_prep(sid), k, w)
+            hs_l.append(h)
+            ps_l.append(pos.astype(np.uint32))
+            rs_l.append(((sid << 1) | strand.astype(np.uint32))
+                        .astype(np.uint32))
+        h = np.concatenate(hs_l) if hs_l else np.empty(0, np.uint64)
+        pos = np.concatenate(ps_l) if ps_l else np.empty(0, np.uint32)
+        rid = np.concatenate(rs_l) if rs_l else np.empty(0, np.uint32)
+        del hs_l, ps_l, rs_l
+        bucket = (h & mask).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        h, pos, rid, bucket = (h[order], pos[order], rid[order],
+                               bucket[order])
+        del order
+        boff = np.zeros(nbkt + 1, np.int64)
+        np.cumsum(np.bincount(bucket, minlength=nbkt), out=boff[1:])
+        ord_n = native.idx_bucket_sort(h, b) if native.available() \
+            else None
+        if ord_n is not None:
+            h, pos, rid = h[ord_n], pos[ord_n], rid[ord_n]
+        else:
+            from ..ksort import ks_radix128
+            for bi in range(nbkt):
+                s0, s1 = int(boff[bi]), int(boff[bi + 1])
+                if s1 - s0 > 1:
+                    perm = s0 + ks_radix128(h[s0:s1] >> np.uint64(b))
+                    h[s0:s1] = h[perm]
+                    pos[s0:s1] = pos[perm]
+                    rid[s0:s1] = rid[perm]
+        # NOTE idx_bucket_sort re-derives the counting scatter, so it
+        # must see the PRE-bucketed arrival order; with the stable
+        # argsort already applied above the buckets are contiguous and
+        # the scatter inside is an identity — both paths agree.
+        newkey = np.ones(len(h), bool)
+        if len(h):
+            newkey[1:] = h[1:] != h[:-1]
+        kidx = np.flatnonzero(newkey)
+        keys = h[kidx]
+        offsets = np.concatenate(
+            [kidx, [len(h)]]).astype(np.uint32)
+        bkt_off = np.searchsorted(bucket[kidx] if len(h) else bucket,
+                                  np.arange(nbkt + 1)).astype(np.int64)
+        pos_out, rid_out = pos, rid
+        run_cnt = offsets[1:] - offsets[:-1]
 
-    # occurrence thresholds (minialign.c:2984-2988)
+    # occurrence thresholds (minialign.c:2984-2988): the (1-frq)-
+    # quantile of per-key multiplicities + 1 via partial selection
+    # (the reference quickselects, ks_ksmall)
     occ = np.empty(len(params.frq), np.uint32)
-    if len(counts):
-        cs = np.sort(counts)
+    if len(run_cnt):
+        scr = run_cnt.copy()
         for i, f in enumerate(params.frq):
             if f <= 0.0:
                 occ[i] = np.uint32(0xFFFFFFFF)
             else:
-                occ[i] = cs[min(int((1.0 - f) * len(cs)), len(cs) - 1)] + 1
+                ix = min(int((1.0 - f) * len(scr)), len(scr) - 1)
+                scr.partition(ix)
+                occ[i] = scr[ix] + 1
+        del scr
     else:
         occ[:] = 1
 
@@ -279,5 +339,6 @@ def build_index(params: IndexParams, names: Sequence[str],
         lens=np.asarray([len(c) for c in codes], np.int64),
         circular=circ,
         codes=[np.asarray(c, np.int8) for c in codes],
-        keys=keys, offsets=offsets, vals_pos=pos, vals_rid=rid,
+        keys=keys, offsets=offsets, vals_pos=pos_out,
+        vals_rid=rid_out, b=b, bkt_off=bkt_off,
     )

@@ -110,6 +110,15 @@ def _load():
     lib.idx_bucket_sort.restype = None
     lib.idx_bucket_sort.argtypes = [u64p, ctypes.c_int64,
                                     ctypes.c_int, u64p]
+    lib.idx_scatter.restype = None
+    lib.idx_scatter.argtypes = [u64p, u32p, u32p, ctypes.c_int64,
+                                ctypes.c_int, i64p, u32p, u32p, u32p]
+    lib.idx_sort_count.restype = ctypes.c_int64
+    lib.idx_sort_count.argtypes = [u32p, u32p, u32p, i64p,
+                                   ctypes.c_int64]
+    lib.idx_emit.restype = None
+    lib.idx_emit.argtypes = [u32p, i64p, ctypes.c_int64, ctypes.c_int,
+                             u64p, u32p, i64p]
     lib.parse_rv.restype = ctypes.c_int64
     lib.parse_rv.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                              ctypes.c_int64, u32p, ctypes.c_int64]
@@ -191,6 +200,36 @@ def idx_bucket_sort(h: np.ndarray, b: int) -> np.ndarray | None:
     out = np.empty(len(h), np.uint64)
     lib.idx_bucket_sort(h, len(h), b, out)
     return out.astype(np.int64)
+
+
+def idx_scatter(h, pos, rid, b, cursors, hs, vp, vr) -> bool:
+    """Append one sketched chunk at the per-bucket cursors (arrival
+    order = mm_idx_drain's push order, minialign.c:2837)."""
+    lib = _load()
+    if lib is None:
+        return False
+    lib.idx_scatter(np.ascontiguousarray(h, np.uint64),
+                    np.ascontiguousarray(pos, np.uint32),
+                    np.ascontiguousarray(rid, np.uint32),
+                    len(h), b, cursors, hs, vp, vr)
+    return True
+
+
+def idx_sort_count(hs, vp, vr, boff) -> int | None:
+    """Per-bucket ksort-exact sort on hrem applied in place to the
+    three SoA arrays; returns the distinct-key total."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.idx_sort_count(hs, vp, vr, boff, len(boff) - 1))
+
+
+def idx_emit(hs, boff, b, keys, offsets, bkt_off) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    lib.idx_emit(hs, boff, len(boff) - 1, b, keys, offsets, bkt_off)
+    return True
 
 
 def ks_radix64(keys: np.ndarray) -> np.ndarray | None:

@@ -71,14 +71,22 @@ def shard_index_arrays(keys: np.ndarray, offsets: np.ndarray,
     padded to a common size. Returns (keys_sh, starts_sh, counts_sh,
     shard_base) stacked as (n_shards, K_pad) arrays."""
     K = len(keys)
+    # bucket-major indexes (round 3) are only per-bucket sorted; the
+    # shard tables need global order for the per-shard searchsorted,
+    # so sort once at shard build (starts/counts ride along)
+    kord = np.argsort(keys, kind="stable")
+    keys = np.asarray(keys, np.uint64)[kord]
+    st_all = np.asarray(offsets[:-1], np.int64)[kord]
+    cn_all = (np.asarray(offsets[1:], np.int64)
+              - np.asarray(offsets[:-1], np.int64))[kord]
     per = -(-K // n_shards) if K else 1
     kpad = per * n_shards
     keys_p = np.full(kpad, np.iinfo(np.uint64).max, np.uint64)
     keys_p[:K] = keys
     starts = np.zeros(kpad, np.int64)
     counts = np.zeros(kpad, np.int64)
-    starts[:K] = offsets[:-1]
-    counts[:K] = offsets[1:] - offsets[:-1]
+    starts[:K] = st_all
+    counts[:K] = cn_all
     return (keys_p.reshape(n_shards, per),
             starts.reshape(n_shards, per),
             counts.reshape(n_shards, per))

@@ -859,4 +859,86 @@ void idx_bucket_sort(const uint64_t* h, int64_t n, int b,
   for (int64_t i = 0; i < n; i++) out_order[i] = recs[i].payload;
 }
 
+// ---------------------------------------------------------------------------
+// streaming bucket-major index build (round 3): the index keeps the
+// reference's own two-stage layout (2^b first-stage buckets by the
+// LOW hash bits, mm_idx_t, minialign.c:2693-2748) so no global key
+// re-sort or giant permutation gathers are ever materialized. Three
+// calls driven from index/build.py:
+//   idx_scatter   — append one sketched chunk's (hrem, pos, rid)
+//                   triples at the per-bucket cursors (arrival order
+//                   == mm_idx_drain's push order, minialign.c:2837)
+//   idx_sort_count— per-bucket ksort-exact permutation on hrem
+//                   (radix_sort_128x, minialign.c:2882; leading zero
+//                   key bytes are identity passes, so the 32-bit-key
+//                   instantiation reproduces the 64-bit permutation
+//                   for hrem < 2^32), applied in place to the three
+//                   SoA arrays; returns the distinct-key total
+//   idx_emit      — per-bucket run scan writing keys (full hashes),
+//                   CSR offsets, and per-bucket key extents
+// hrem must fit u32 (2k - b <= 32; build.py falls back otherwise).
+
+void idx_scatter(const uint64_t* h, const uint32_t* pos,
+                 const uint32_t* rid, int64_t n, int b,
+                 int64_t* cursors, uint32_t* hs, uint32_t* vp,
+                 uint32_t* vr) {
+  const uint64_t mask = (1ull << b) - 1;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t& c = cursors[h[i] & mask];
+    hs[c] = (uint32_t)(h[i] >> b);
+    vp[c] = pos[i];
+    vr[c] = rid[i];
+    c++;
+  }
+}
+
+int64_t idx_sort_count(uint32_t* hs, uint32_t* vp, uint32_t* vr,
+                       const int64_t* boff, int64_t nbkt) {
+  int64_t maxb = 0;
+  for (int64_t d = 0; d < nbkt; d++)
+    maxb = std::max(maxb, boff[d + 1] - boff[d]);
+  std::vector<Rec64> recs((size_t)maxb);
+  std::vector<uint32_t> tmp((size_t)maxb);
+  int64_t nk = 0;
+  for (int64_t d = 0; d < nbkt; d++) {
+    int64_t s0 = boff[d], ln = boff[d + 1] - boff[d];
+    if (ln <= 0) continue;
+    if (ln > 1) {
+      for (int64_t i = 0; i < ln; i++)
+        recs[(size_t)i] = {hs[s0 + i], (uint32_t)i};
+      ks_radix<Rec64, uint32_t>(recs.data(), ln, 4);
+      for (int64_t i = 0; i < ln; i++) tmp[i] = recs[i].key;
+      std::memcpy(hs + s0, tmp.data(), (size_t)ln * 4);
+      for (int64_t i = 0; i < ln; i++)
+        tmp[i] = vp[s0 + recs[i].payload];
+      std::memcpy(vp + s0, tmp.data(), (size_t)ln * 4);
+      for (int64_t i = 0; i < ln; i++)
+        tmp[i] = vr[s0 + recs[i].payload];
+      std::memcpy(vr + s0, tmp.data(), (size_t)ln * 4);
+    }
+    nk++;
+    for (int64_t i = 1; i < ln; i++) nk += (hs[s0 + i] != hs[s0 + i - 1]);
+  }
+  return nk;
+}
+
+void idx_emit(const uint32_t* hs, const int64_t* boff, int64_t nbkt,
+              int b, uint64_t* keys, uint32_t* offsets,
+              int64_t* bkt_off) {
+  int64_t w = 0;
+  for (int64_t d = 0; d < nbkt; d++) {
+    bkt_off[d] = w;
+    int64_t s0 = boff[d], s1 = boff[d + 1];
+    for (int64_t i = s0; i < s1; i++) {
+      if (i == s0 || hs[i] != hs[i - 1]) {
+        keys[w] = ((uint64_t)hs[i] << b) | (uint64_t)d;
+        offsets[w] = (uint32_t)i;      // CSR start of key w's run
+        w++;
+      }
+    }
+  }
+  bkt_off[nbkt] = w;
+  offsets[w] = (uint32_t)boff[nbkt];
+}
+
 }  // extern "C" (ksort exports)
