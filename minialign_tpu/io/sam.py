@@ -101,6 +101,21 @@ def parse_path_rv(upath: str, off: int, plen: int) -> list:
     return out
 
 
+def seg_cigar(a, s) -> str:
+    """CIGAR string for one path segment — native fused parse+format
+    when available (the per-token tuple construction and f-strings
+    dominated the printer at 500-read scale)."""
+    up = getattr(a, "upath", "")
+    if up:
+        from .. import native
+        if native.available():
+            off = len(up) - (s.po + len(s.path))
+            cg = native.rv_cigar(up, off, len(s.path))
+            if cg is not None:
+                return cg
+    return cigar_from(seg_tokens(a, s))
+
+
 def seg_tokens(a, s) -> list:
     """Display-order cigar tokens for one path segment of an alignment,
     via the reference's reverse parse of the up-space path."""
@@ -271,16 +286,17 @@ class SamWriter:
         qe = qlen - (tl if hard else 0)
         clip = "H" if hard else "S"
 
-        toks = seg_tokens(a, s)
         cig = []
         if hl:
             cig.append(f"{hl}{clip}")
-        cig.append(cigar_from(toks))
+        cig.append(seg_cigar(a, s))
         if tl:
             cig.append(f"{tl}{clip}")
 
         if a.rev:
-            sseq = decode(seq.codes[::-1][qs:qe][::-1], rev=True).decode()
+            # slice-then-revcomp == the double-reversal form, one copy
+            sseq = decode(seq.codes[qlen - qe:qlen - qs],
+                          rev=True).decode()
         else:
             sseq = decode(seq.codes[qs:qe]).decode()
 
@@ -309,7 +325,8 @@ class SamWriter:
             rsl = np.asarray(ref_codes[a.rid][s.as0:s.ae])
             qdir = seq.codes if not a.rev else \
                 (3 - seq.codes[::-1]).astype(np.int8)
-            w("\tMD:Z:" + md_tag(toks, rsl, qdir[s.bs0:s.be]))
+            w("\tMD:Z:" + md_tag(seg_tokens(a, s), rsl,
+                                  qdir[s.bs0:s.be]))
 
     def _primary_tags(self, ref_names, seq, reg) -> bool:
         """mm_print_sam_primary_tags (minialign.c:5348-5384); returns
@@ -334,7 +351,7 @@ class SamWriter:
                     parts = []
                     if shl:
                         parts.append(f"{shl}H")
-                    parts.append(cigar_from(seg_tokens(sa, s)))
+                    parts.append(seg_cigar(sa, s))
                     if stl:
                         parts.append(f"{stl}H")
                     # SA's mapq is printed RAW (x16: mm_print_sam_supp

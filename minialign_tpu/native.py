@@ -122,6 +122,10 @@ def _load():
     lib.parse_rv.restype = ctypes.c_int64
     lib.parse_rv.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                              ctypes.c_int64, u32p, ctypes.c_int64]
+    lib.rv_cigar.restype = ctypes.c_int64
+    lib.rv_cigar.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                             ctypes.c_int64, ctypes.c_char_p,
+                             ctypes.c_int64]
     lib.md_walk.restype = ctypes.c_int64
     lib.md_walk.argtypes = [ctypes.c_char_p, ctypes.c_int64, i8p, i8p,
                             ctypes.c_char_p]
@@ -256,6 +260,22 @@ def parse_rv(upath: str, off: int, plen: int) -> list | None:
         return None
     opc = "MID"
     return [(int(w) >> 4, opc[w & 15]) for w in out[:n]]
+
+
+def rv_cigar(upath: str, off: int, plen: int) -> str | None:
+    """CIGAR ASCII directly from the up-space path (parse_rv fused
+    with number formatting — the Python tuple list + per-token
+    f-strings were a printer hot spot)."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = upath.encode("latin1")
+    cap = 2 * plen + 16
+    out = ctypes.create_string_buffer(cap)
+    n = lib.rv_cigar(b, off, plen, out, cap)
+    if n < 0:
+        return None
+    return out.raw[:n].decode("latin1")
 
 
 def md_walk(path: str, rcodes: np.ndarray, qcodes: np.ndarray) -> str | None:
