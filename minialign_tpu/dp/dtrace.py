@@ -38,7 +38,7 @@ from ..params import ScoreParams
 from .band import BLK, M_E, M_EO, M_F, M_FO, M_GFA, M_GFB
 
 OP_PAD, OP_D, OP_R, OP_X = 0, 1, 2, 3
-CHAIN = 8             # probe depth per iteration for diag/gap runs
+CHAIN = 16            # probe depth per iteration for diag/gap runs
 LEN_CAP = 63              # int8 entry: op | len << 2
 # rows of the (13, B) summary array returned next to the rle entries
 SUMMARY_ROWS = ("n_ops", "n_ent", "bad", "dcnt", "agcnt", "bgcnt",

@@ -123,19 +123,57 @@ def align_batch(mp: MapParams, mi: MMIndex, reads: list,
         except StopIteration as e:
             results[i] = e.value
 
-    while active:
-        idxs = list(active.keys())
-        reqs = [active[i][1] for i in idxs]
-        outs = engine.run(reqs)
-        nxt = {}
-        for i, out in zip(idxs, outs):
-            g = active[i][0]
-            try:
-                req = g.send(out)
-                nxt[i] = (g, req)
-            except StopIteration as e:
-                results[i] = e.value
-        active = nxt
+    def drive(act: dict, res: dict) -> None:
+        while act:
+            idxs = list(act.keys())
+            reqs = [act[i][1] for i in idxs]
+            outs = engine.run(reqs)
+            nxt = {}
+            for i, out in zip(idxs, outs):
+                g = act[i][0]
+                try:
+                    req = g.send(out)
+                    nxt[i] = (g, req)
+                except StopIteration as e:
+                    res[i] = e.value
+            act.clear()
+            act.update(nxt)
+
+    # scheduler workers: with >1, each thread drives an interleaved
+    # share of the reads through its own dispatch rounds, so one
+    # share's host work (seeding/chaining/bookkeeping) overlaps the
+    # other's device waits — reads are independent here, and the
+    # stale-rlen chain is restored by the sequential replay pass below
+    # exactly as for any other execution order. Only the device-store
+    # path is multi-worker-safe (the pooled host staging buffers are
+    # keyed by shape, not by thread).
+    nworkers = 1
+    if use_store and len(active) >= 64:
+        # default = physical parallelism: on a 1-core host the split
+        # only shrinks dispatch batches (A/B: no win); on multi-core
+        # hosts each worker's host stage overlaps the others' device
+        # waits
+        nworkers = max(1, int(os.environ.get(
+            "MINIALIGN_SCHED_WORKERS",
+            str(min(4, os.cpu_count() or 1)))))
+    if nworkers > 1:
+        import threading
+        shards = [{i: active[i] for i in active if i % nworkers == w}
+                  for w in range(nworkers)]
+        shard_res = [dict() for _ in range(nworkers)]
+        ths = [threading.Thread(target=drive, args=(shards[w],
+                                                    shard_res[w]),
+                                daemon=True)
+               for w in range(1, nworkers)]
+        for t in ths:
+            t.start()
+        drive(shards[0], shard_res[0])
+        for t in ths:
+            t.join()
+        for r in shard_res:
+            results.update(r)
+    else:
+        drive(active, results)
 
     # sequential stale-rlen pass: walk reads in order, replay any whose
     # speculative first-root bounds test disagrees with the true value
