@@ -259,9 +259,18 @@ def make_device_traceback(p: ScoreParams, W: int):
             ik = i - jnp.where(run_e | run_d, n_run, 0)
             jk = j - jnp.where(run_f | run_d, n_run, 0)
             ppk = pp - n_run * jnp.where(run_d, 2, 1)
-            qk = jnp.take_along_axis(
-                q_tr, jnp.clip(n_run - 1, 0, None)[:, None],
-                axis=1)[:, 0]
+            # q after n_run moves, via the cumsums already in hand —
+            # an arithmetic select beats another gather round (every
+            # take_along_axis costs ~8 us on TPU regardless of volume)
+            SeN = jnp.sum(jnp.where(m1 <= n_run[:, None],
+                                    D[:, :C], 0), axis=1)
+            SdN = jnp.sum(jnp.where(m1 <= n_run[:, None],
+                                    D[:, 0::2][:, :C]
+                                    + D[:, 1::2][:, :C] - 1, 0),
+                          axis=1)
+            qk = jnp.where(run_e, q + SeN,
+                           jnp.where(run_f, q - n_run + SeN,
+                                     q + SdN))
             qk = jnp.where(chain, qk, q)
 
             # run continuation into the NEXT iteration: stop iff the
