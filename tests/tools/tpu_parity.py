@@ -103,6 +103,22 @@ def main():
                       for o in ops)[::-1]
         assert fwd == want.path, k
 
+    # Pallas DMA gather vs direct slicing (dp/pallas_gather.py): the
+    # device-resident store path every mapping dispatch rides on
+    from minialign_tpu.dp import pallas_gather
+    flat = rng.integers(0, 4, 300_000).astype(np.int8)
+    st2 = jax.device_put(pallas_gather.pad_store(flat))
+    Lg, Bg = 2048, 64
+    off = rng.integers(0, len(flat), Bg).astype(np.int32)
+    ln = np.minimum(rng.integers(0, Lg + 1, Bg),
+                    len(flat) - off).astype(np.int32)
+    got = np.asarray(pallas_gather.make_gather(Lg, Bg)(
+        st2, jax.device_put(off), jax.device_put(ln)))
+    exp = np.full((Bg, Lg), band.NCODE, np.int8)
+    for t in range(Bg):
+        exp[t, :ln[t]] = flat[off[t]:off[t] + ln[t]]
+    np.testing.assert_array_equal(got, exp)
+
     # round artifact (VERDICT round-2 item 8): record what was
     # compared so the per-round parity claim is checkable without
     # rerunning the tunnel
@@ -114,7 +130,8 @@ def main():
         "n_problems": int(B),
         "checks": ["fill score/max-pos pallas==xla",
                    "dirs byte-equal", "cell-code masks byte-equal",
-                   "device-RLE trace == host walker path, all lanes"],
+                   "device-RLE trace == host walker path, all lanes",
+                   "pallas DMA gather == host slicing (64 windows)"],
         "n_trace_lanes_compared": int(B),
         "status": "ok",
     }
