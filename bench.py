@@ -84,15 +84,36 @@ def kernel_rates():
             r = fill(ab_d, alen_d, bb_d, blen_d)
             np.asarray((r[0] if trace else r).max_score)
 
-        runs = 4 if trace else 8
-        t0 = time.perf_counter()
-        results = [fill(ab_d, alen_d, bb_d, blen_d)
-                   for _ in range(runs)]
-        for r in results:
-            np.asarray((r[0] if trace else r).max_score)
-        dt = (time.perf_counter() - t0) / runs
-        res = results[-1][0] if trace else results[-1]
-        n_steps = int(np.asarray(res.n_steps).sum())
+        # sustained DEVICE rate via the marginal cost of R chained
+        # fills inside ONE jit (tests/tools/kbench.py slope_R): a
+        # python-dispatched call pays ~20-35 ms tunnel RPC that does
+        # not exist on direct-attached hardware and would understate
+        # the chip 2-3x. The data dependency between chained calls
+        # defeats CSE and forces sequential execution.
+        import jax.numpy as jnp
+
+        def chain(R):
+            def f(a, al, b, bl):
+                tot = jnp.int32(0)
+                for _ in range(R):
+                    r = fill(a, jnp.where(tot >= 0, al, al - 1), b, bl)
+                    res = r[0] if trace else r
+                    tot = tot + jnp.max(res.n_steps)
+                return tot
+            return jax.jit(f)
+
+        g1, g5 = chain(1), chain(5)
+        np.asarray(g1(ab_d, alen_d, bb_d, blen_d))
+        np.asarray(g5(ab_d, alen_d, bb_d, blen_d))
+        best = [1e9, 1e9]
+        for _ in range(3):
+            for gi_, g in enumerate((g1, g5)):
+                t0 = time.perf_counter()
+                np.asarray(g(ab_d, alen_d, bb_d, blen_d))
+                best[gi_] = min(best[gi_], time.perf_counter() - t0)
+        r = fill(ab_d, alen_d, bb_d, blen_d)
+        n_steps = int(np.asarray((r[0] if trace else r).n_steps).sum())
+        dt = (best[1] - best[0]) / 4
         gcups = n_steps * 64 / dt / 1e9
         out["trace" if trace else "notrace"] = round(gcups, 3)
     return out

@@ -259,8 +259,16 @@ class FillEngine:
         # max problems per dispatch; the pallas kernel grids over
         # 128-lane chunks inside ONE launch, so big batches amortize
         # the per-dispatch cost (~30 ms RPC on tunneled backends)
+        # NOTE multi-chunk grids run ~2.3x slower PER STEP at 20 kb
+        # sources (kbench slopeR B=512 147 ns vs B=128 64 ns — the
+        # extra chunks' input-block copies/extractions serialize with
+        # compute), but E2E A/B shows splitting dispatches at 128
+        # doesn't pay on the tunneled host (dispatch overhead eats the
+        # win); keep 512 and revisit on direct-attached hardware via
+        # MINIALIGN_DISPATCH_B.
         self.batch = batch if batch is not None else \
-            (512 if use_pallas else 32)
+            (int(_os.environ.get("MINIALIGN_DISPATCH_B", "512"))
+             if use_pallas else 32)
         self._fns = _FN_CACHE.setdefault(
             (_score_key(score), use_pallas), {})
 
