@@ -44,7 +44,10 @@ def kernel_rates():
                                  for i in range(16)),
                     gi=4, ge=2, gfa=3, gfb=3, xdrop=50)  # -xpacbio
 
-    B = int(os.environ.get("BENCH_B", "512"))
+    # one 128-lane grid chunk = the kernel's native width (the
+    # multi-chunk per-step penalty at long sources is a separate,
+    # documented scheduling artifact — PERF_NOTES.md)
+    B = int(os.environ.get("BENCH_B", "128"))
     L = int(os.environ.get("BENCH_L", "20480"))
     rng = np.random.default_rng(0)
     a = rng.integers(0, 4, (B, L)).astype(np.int8)
