@@ -111,9 +111,14 @@ def kernel_rates():
         best = [1e9, 1e9]
         for _ in range(3):
             for gi_, g in enumerate((g1, g5)):
+                # 4 calls per point: single calls jitter by +-3 ms on
+                # the tunnel, comparable to the marginal cost itself
                 t0 = time.perf_counter()
-                np.asarray(g(ab_d, alen_d, bb_d, blen_d))
-                best[gi_] = min(best[gi_], time.perf_counter() - t0)
+                rs = [g(ab_d, alen_d, bb_d, blen_d) for _ in range(4)]
+                for r_ in rs:
+                    np.asarray(r_)
+                best[gi_] = min(best[gi_],
+                                (time.perf_counter() - t0) / 4)
         r = fill(ab_d, alen_d, bb_d, blen_d)
         n_steps = int(np.asarray((r[0] if trace else r).n_steps).sum())
         dt = (best[1] - best[0]) / 4
