@@ -271,6 +271,9 @@ class FillEngine:
              if use_pallas else 32)
         self._fns = _FN_CACHE.setdefault(
             (_score_key(score), use_pallas), {})
+        # fused down+up+trace dispatch (see _duo_fn); requires the
+        # pallas path + device store
+        self.supports_duo = bool(use_pallas)
 
     def _bucket(self, n: int) -> int:
         # Pallas path: 4096 minimum merges the small rescue-probe
@@ -512,16 +515,24 @@ class FillEngine:
         each trace bucket warms in the same thread."""
         import threading
 
-        missing = [key for key in need
-                   if ("fused",) + key not in self._fns]
+        missing = [key for key in need if key not in self._fns]
         if len(missing) < 2:
             return
 
         def warm(key):
-            W, la, lb, trace, B = key
             try:
+                z = np.zeros(key[-1], np.int32)
+                one = np.ones(key[-1], np.int32)
+                if key[0] == "duo":
+                    _, W, la, lb, lau, lbu, B = key
+                    f = self._duo_fn(W, la, lb, lau, lbu, B)
+                    r = f(self._ref_store2, z, z,
+                          self._q_store2, z, z,
+                          z, z, one, one, z, z)
+                    np.asarray(r[1][:1, :1])
+                    return
+                _, W, la, lb, trace, B = key
                 f = self._fused_fn(W, la, lb, trace, B)
-                z = np.zeros(B, np.int32)
                 r = f(self._ref_store2, z, z, self._q_store2, z, z)
                 if trace:
                     res_d, bufs = r
@@ -578,6 +589,68 @@ class FillEngine:
     _LUT_FWD1 = np.frombuffer(b"\0DRR", np.uint8)
     _LUT_REV1 = np.frombuffer(b"\0DRD", np.uint8)
     _LUT_TOK = np.frombuffer(b"\0DRX", np.uint8)
+
+    def _duo_fn(self, W, la, lb, lau, lbu, B):
+        """Fused down-fill -> up-window math -> up-fill -> device
+        trace, ONE dispatch per extension trial (the reference's
+        mm_extend_core down/up pair, minialign.c:4075-4147, runs two
+        host round trips here otherwise). The up window offsets are
+        pure arithmetic on the down max and per-problem geometry, so
+        they move onto the device; the host dedup test between down
+        and up (mm_search_test_dup) is applied at harvest — a dup
+        simply discards the speculative up result, which is byte-
+        neutral. Circular references stay on the two-step path."""
+        key = ("duo", W, la, lb, lau, lbu, B)
+        if key not in self._fns:
+            import jax
+            import jax.numpy as jnp
+
+            from .dp import pallas_gather
+            from .dp.dtrace import make_device_traceback
+
+            fill_d, pk = self._fn(W, la, lb, False)
+            fill_u, pku = self._fn(64, lau, lbu, True)
+            ga = pallas_gather.make_gather(la, B, pk)
+            gb = pallas_gather.make_gather(lb, B, pk)
+            gau = pallas_gather.make_gather(lau, B, pku)
+            gbu = pallas_gather.make_gather(lbu, B, pku)
+            dkey = ("dtrace", 64)
+            if dkey not in self._fns:
+                self._fns[dkey] = make_device_traceback(self.p, 64)
+            dt = self._fns[dkey]
+            capu_add = 4 * 64 + 2 * band.TAIL_N + 64  # _slice_cap(.., 64)
+
+            @jax.jit
+            def f(sa, offa, lna, sb, offb, lnb,
+                  rvbase, qub, rlen_r, qlen_r, cp0_r, cp1_r):
+                down = fill_d(ga(sa, offa, lna), lna,
+                              gb(sb, offb, lnb), lnb)
+                ae = cp0_r + down.max_i
+                be = cp1_r + down.max_j
+                tp0 = jnp.clip(ae, 1, rlen_r)
+                tp1 = jnp.clip(be, 1, qlen_r)
+                # a failed down (score 0) would otherwise trace a
+                # full-length garbage alignment and stretch the whole
+                # trace batch's walk; zero-length inputs terminate its
+                # up fill immediately
+                ok = (down.max_score > 0).astype(jnp.int32)
+                lna_u = jnp.minimum(2 * tp1 + capu_add, tp0) * ok
+                offa_u = rvbase + (rlen_r - tp0)
+                lnb_u = tp1 * ok
+                offb_u = qub + (qlen_r - tp1)
+                upres, bufs = fill_u(gau(sa, offa_u, lna_u), lna_u,
+                                     gbu(sb, offb_u, lnb_u), lnb_u)
+                rle, summ = dt(bufs.masks, bufs.dirs, bufs.iheads,
+                               upres.max_score, upres.max_i,
+                               upres.max_j)
+                # down results ride as 3 extra summary rows: ONE
+                # device->host array per harvest
+                dsum = jnp.stack([down.max_score, down.max_i,
+                                  down.max_j])
+                return rle, jnp.concatenate([summ, dsum], axis=0)
+
+            self._fns[key] = f
+        return self._fns[key]
 
     def _trace_device_dispatch(self, sub, W, res_d, bufs):
         """TPU trace path, dispatch half: the mask walk runs ON DEVICE
@@ -667,26 +740,66 @@ class FillEngine:
         lb = len(b) if isinstance(b, np.ndarray) else             max(0, self._q_len[b[1]] - b[3])
         return la, lb
 
+    def _duo_slow(self, reqs, sub, out) -> None:
+        """Two-step fallback for duo requests whose sides can't take
+        the device-store fast path: down, host-side up-window math
+        (identical to the fused jit's), then up+trace — all through
+        the regular run() machinery."""
+        downs = self.run([("down", reqs[i][1], reqs[i][2],
+                           reqs[i][3]) for i in sub])
+        CAPU_ADD = 4 * 64 + 2 * band.TAIL_N + 64
+        ureqs = []
+        for d, i in zip(downs, sub):
+            rid, rev, qidx, rlen, qlen, cp0, cp1 = reqs[i][4]
+            sc, mi_, mj_, _ = d
+            tp0 = min(max(cp0 + mi_, 1), rlen)
+            tp1 = min(max(cp1 + mj_, 1), qlen)
+            au = ("ref", rid, 1, rlen - tp0, 2 * tp1 + CAPU_ADD, 0)
+            bu = ("q", qidx, 1 - rev, qlen - tp1)
+            ureqs.append(("up", au, bu, 64))
+        ups = self.run(ureqs)
+        for d, u, i in zip(downs, ups, sub):
+            out[i] = (d[0], d[1], d[2], u[0], u[1], u[2], u[3])
+
     def run(self, reqs: list) -> list:
         """reqs: list of (kind, a, b, W) with kind 'down' or 'up'; a/b
         are either raw code arrays or device-store slice specs (see
         _build_side). Returns per-request (score, mi, mj, trace|None)."""
         out = [None] * len(reqs)
         pending = []            # deferred device-trace harvests
+        pending_duo = []        # deferred fused down+up harvests
         pending_plain = []      # deferred no-trace materializations
         groups = {}
-        for i, (kind, a, b, W) in enumerate(reqs):
+        duo_groups = {}
+        CAPU_ADD = 4 * 64 + 2 * band.TAIL_N + 64
+        for i, req in enumerate(reqs):
+            kind, a, b, W = req[0], req[1], req[2], req[3]
             ra, rb = self._req_lens(a, b)
             la = self._bucket(ra + band.TAIL_N + 128)
             lb = self._bucket(rb + band.TAIL_N + 128)
-            groups.setdefault((kind == "up", W, la, lb), []).append(i)
+            if kind == "duo":
+                rlen, qlen = req[4][3], req[4][4]
+                lau = self._bucket(min(2 * qlen + CAPU_ADD, rlen)
+                                   + band.TAIL_N + 128)
+                lbu = self._bucket(qlen + band.TAIL_N + 128)
+                duo_groups.setdefault((W, la, lb, lau, lbu),
+                                      []).append(i)
+            else:
+                groups.setdefault((kind == "up", W, la, lb),
+                                  []).append(i)
         if self.use_pallas and getattr(self, "_ref_store2",
                                        None) is not None and \
                 getattr(self, "_q_store2", None) is not None:
-            self._prewarm([
-                (W, la, lb, trace,
+            need = [
+                ("fused", W, la, lb, trace,
                  max(128, -(-min(len(idxs), self.batch) // 128) * 128))
-                for (trace, W, la, lb), idxs in groups.items()])
+                for (trace, W, la, lb), idxs in groups.items()]
+            need += [
+                ("duo",) + gk
+                + (max(128,
+                       -(-min(len(idxs), self.batch) // 128) * 128),)
+                for gk, idxs in duo_groups.items()]
+            self._prewarm(need)
         for (trace, W, la, lb), idxs in groups.items():
             fn, packed_io = self._fn(W, la, lb, trace)
             for base in range(0, len(idxs), self.batch):
@@ -790,8 +903,59 @@ class FillEngine:
                 else:
                     res = fn_call()
                     pending_plain.append((sub, res))
+        for gkey, idxs in duo_groups.items():
+            W, la, lb, lau, lbu = gkey
+            zpad_a = ("ref", 0, 0, 0, 0, 0)
+            zpad_b = ("q", 0, 0, 10**9)
+            for base in range(0, len(idxs), self.batch):
+                sub = idxs[base:base + self.batch]
+                B = max(128, -(-len(sub) // 128) * 128)
+                aspecs = [reqs[i][1] for i in sub] \
+                    + [zpad_a] * (B - len(sub))
+                bspecs = [reqs[i][2] for i in sub] \
+                    + [zpad_b] * (B - len(sub))
+                ma = self._side_meta(aspecs, la, B)
+                mb = self._side_meta(bspecs, lb, B)
+                if not (ma["ok_pg"] and mb["ok_pg"]):
+                    self._duo_slow(reqs, sub, out)
+                    continue
+                offa = np.minimum(ma["base"] + ma["start"],
+                                  ma["base"] + ma["seglen"])
+                offb = np.minimum(mb["base"] + mb["start"],
+                                  mb["base"] + mb["seglen"])
+                rvbase = np.zeros(B, np.int32)
+                qub = np.zeros(B, np.int32)
+                rlen_r = np.ones(B, np.int32)
+                qlen_r = np.ones(B, np.int32)
+                cp0_r = np.zeros(B, np.int32)
+                cp1_r = np.zeros(B, np.int32)
+                for s, i in enumerate(sub):
+                    rid, rev, qidx, rlen, qlen, cp0, cp1 = reqs[i][4]
+                    rvbase[s] = self._ref_rv[rid]
+                    b0, b1 = self._q_bases[qidx]
+                    qub[s] = b1 if (1 - rev) else b0
+                    rlen_r[s] = rlen
+                    qlen_r[s] = qlen
+                    cp0_r[s] = cp0
+                    cp1_r[s] = cp1
+                f = self._duo_fn(W, la, lb, lau, lbu, B)
+                rle_d, s16_d = f(
+                    ma["store2"], offa, ma["elen"],
+                    mb["store2"], offb, mb["elen"],
+                    rvbase, qub, rlen_r, qlen_r, cp0_r, cp1_r)
+                pending_duo.append((sub, rle_d, s16_d))
         for pend in pending:
             self._trace_device_harvest(out, pend)
+        for sub, rle_d, s16_d in pending_duo:
+            s16 = np.asarray(s16_d)[:, :len(sub)]
+            dsum = s16[13:16]
+            ups = [None] * len(sub)
+            self._trace_device_harvest(ups, (list(range(len(sub))),
+                                             64, rle_d, s16[:13]))
+            for s, i in enumerate(sub):
+                usc, uai, ubj, tr = ups[s]
+                out[i] = (int(dsum[0, s]), int(dsum[1, s]),
+                          int(dsum[2, s]), usc, uai, ubj, tr)
         for sub, res in pending_plain:
             # one stacked transfer: separate materializations each pay
             # a full RPC on tunneled links
@@ -906,7 +1070,8 @@ def _load_next(st: _SearchState, seeds, tglen: int, rid: int, qlen: int,
 
 
 def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int,
-                qidx: int | None = None, tbuf: dict | None = None):
+                qidx: int | None = None, tbuf: dict | None = None,
+                duo: bool = False):
     """Generator: yields ('down'|'up', a, b, W) requests, receives
     (score, mi, mj, trace) via .send(). Returns (res, slots, rec) where
     res is a list of [accumulated_score, Bin] and slots the global
@@ -999,17 +1164,30 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int,
                 W = WIDTHS[st.narrow]
                 qdir = qrc[st.rev]
 
-                # ---- downward extension
+                # ---- downward extension (+ fused speculative up:
+                # one device round per trial when the store path and
+                # non-circular geometry allow — mm_extend_core's
+                # down/up pair, minialign.c:4075-4147)
                 cap = _slice_cap(qlen - st.cp[1], W)
-                if qidx is not None:
-                    a = ("ref", rid, 0, st.cp[0], cap,
-                         rlen if circ else 0)
+                use_duo = (duo and qidx is not None and not circ
+                           and st.cp[0] >= 0 and st.cp[1] >= 0)
+                if use_duo:
+                    a = ("ref", rid, 0, st.cp[0], cap, 0)
                     b = ("q", qidx, st.rev, st.cp[1])
+                    meta = (rid, st.rev, qidx, rlen, qlen,
+                            st.cp[0], st.cp[1])
+                    sc, mi_, mj_, usc, umi, umj, tr = yield (
+                        "duo", a, b, W, meta)
                 else:
-                    a = _slice_a(rcodes, st.cp[0], qlen - st.cp[1], W,
-                                 circ)
-                    b = qdir[st.cp[1]:]
-                sc, mi_, mj_, _ = yield ("down", a, b, W)
+                    if qidx is not None:
+                        a = ("ref", rid, 0, st.cp[0], cap,
+                             rlen if circ else 0)
+                        b = ("q", qidx, st.rev, st.cp[1])
+                    else:
+                        a = _slice_a(rcodes, st.cp[0], qlen - st.cp[1],
+                                     W, circ)
+                        b = qdir[st.cp[1]:]
+                    sc, mi_, mj_, _ = yield ("down", a, b, W)
                 if sc == 0:
                     continue
                 ae, be = st.cp[0] + mi_, st.cp[1] + mj_
@@ -1023,22 +1201,25 @@ def extend_read(mp: MapParams, mi: MMIndex, qcodes: np.ndarray, qid: int,
                 dup = k in pos_hash
                 pos_hash[k] = [eid, -1]
                 if dup:
+                    # the fused path's speculative up result is simply
+                    # discarded — byte-neutral vs the two-step skip
                     st.narrow = min(st.narrow + 1, 2)
                     continue
 
-                # ---- upward extension on reversed sequences
-                W0 = WIDTHS[0]
-                capu = _slice_cap(st.tp[1], W0)
-                if qidx is not None:
-                    au = ("ref", rid, 1, rlen - st.tp[0], capu,
-                          rlen if circ else 0)
-                    # revcomp(qdir) is just the OTHER strand copy
-                    bu = ("q", qidx, 1 - st.rev, qlen - st.tp[1])
-                else:
-                    au = _slice_a(rrev, rlen - st.tp[0], st.tp[1], W0,
-                                  circ)
-                    bu = revcomp_codes(qdir)[qlen - st.tp[1]:]
-                usc, umi, umj, tr = yield ("up", au, bu, W0)
+                if not use_duo:
+                    # ---- upward extension on reversed sequences
+                    W0 = WIDTHS[0]
+                    capu = _slice_cap(st.tp[1], W0)
+                    if qidx is not None:
+                        au = ("ref", rid, 1, rlen - st.tp[0], capu,
+                              rlen if circ else 0)
+                        # revcomp(qdir) is just the OTHER strand copy
+                        bu = ("q", qidx, 1 - st.rev, qlen - st.tp[1])
+                    else:
+                        au = _slice_a(rrev, rlen - st.tp[0], st.tp[1],
+                                      W0, circ)
+                        bu = revcomp_codes(qdir)[qlen - st.tp[1]:]
+                    usc, umi, umj, tr = yield ("up", au, bu, W0)
                 if usc < mp.min_score or tr is None:
                     continue
 

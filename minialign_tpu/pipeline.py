@@ -106,6 +106,8 @@ def align_batch(mp: MapParams, mi: MMIndex, reads: list,
     if use_store:
         engine.set_index(mi)
         engine.set_queries([np.asarray(c, np.int8) for c in reads])
+    duo = (use_store and getattr(engine, "supports_duo", False)
+           and os.environ.get("MINIALIGN_DUO", "1") != "0")
     results = {}
     active = {}
     for i, codes in enumerate(reads):
@@ -113,7 +115,8 @@ def align_batch(mp: MapParams, mi: MMIndex, reads: list,
         # rest speculate and are replayed below on a wrong guess
         tbi = {"rlen": tb["rlen"], "spec": i != 0}
         g = extend_read(mp, mi, np.asarray(codes), base_qid + i,
-                        qidx=i if use_store else None, tbuf=tbi)
+                        qidx=i if use_store else None, tbuf=tbi,
+                        duo=duo)
         if g is None:
             results[i] = None
             continue
@@ -192,7 +195,8 @@ def align_batch(mp: MapParams, mi: MMIndex, reads: list,
                 g = extend_read(mp, mi, np.asarray(reads[i]),
                                 base_qid + i,
                                 qidx=i if use_store else None,
-                                tbuf={"rlen": cur, "spec": False})
+                                tbuf={"rlen": cur, "spec": False},
+                                duo=duo)
                 out = _pump_single(engine, g)
                 results[i] = out
                 rec = out[2] if out is not None else None
