@@ -38,12 +38,21 @@ from ..params import ScoreParams
 from .band import BLK, M_E, M_EO, M_F, M_FO, M_GFA, M_GFB
 
 OP_PAD, OP_D, OP_R, OP_X = 0, 1, 2, 3
-CHAIN = 16            # probe depth per iteration for diag/gap runs
+import os as _os
+
+CHAIN = int(_os.environ.get("MINIALIGN_DTRACE_CHAIN", "16"))
+#                     probe depth per iteration for diag/gap runs
 LEN_CAP = 63              # int8 entry: op | len << 2
-# rows of the (13, B) summary array returned next to the rle entries
+# static head-slice rows returned next to the full rle buffer: when
+# the walk finished within HEAD_T iterations (the typical case — run
+# entries average ~13 ops at PBSIM identity) the harvest reads the
+# pre-sliced head and pays NO eager device slice, which costs a full
+# dispatch/RPC round (~30 ms) on tunneled backends
+HEAD_T = int(_os.environ.get("MINIALIGN_DTRACE_HEAD", "4096"))
+# rows of the (14, B) summary array returned next to the rle entries
 SUMMARY_ROWS = ("n_ops", "n_ent", "bad", "dcnt", "agcnt", "bgcnt",
                 "n_open", "n_ext", "gf_pen", "e_pen",
-                "score", "ai", "bj")
+                "score", "ai", "bj", "t_fin")
 
 
 def make_device_traceback(p: ScoreParams, W: int):
@@ -96,10 +105,6 @@ def make_device_traceback(p: ScoreParams, W: int):
             fb = ((m_f & (1 - m_gfa)) | ((c >> M_FO) & 1)) == 1
             return hb, vb, eb, fb
 
-        def probe(pp, q):
-            c = cell_code(pp[:, None], q[:, None])[:, 0]
-            return code_bits(c)
-
         # ---- init (mirrors traceback_one's prologue)
         i0 = ai.astype(jnp.int32)
         j0 = bj.astype(jnp.int32)
@@ -132,7 +137,15 @@ def make_device_traceback(p: ScoreParams, W: int):
                    ("dcnt", "agcnt", "bgcnt", "n_open", "n_ext",
                     "gf_pen", "e_pen")}
 
-        state0 = dict(i=i0, j=j0, pp=pp0, q=q0,
+        # the walk carries the CURRENT cell's 6-bit code in state:
+        # every move's landing cell is probed by the iteration that
+        # makes the move (trajectory column n_run-1 for chained runs,
+        # a dedicated gather column for one-base gf gaps), so the loop
+        # body never pays a separate head-probe gather round (~8 us
+        # per take_along_axis CALL; this was 1 of 3 dependent rounds)
+        ccode0 = cell_code(pp0[:, None], q0[:, None])[:, 0]
+
+        state0 = dict(i=i0, j=j0, pp=pp0, q=q0, ccode=ccode0,
                       phase=jnp.zeros(B, jnp.int32),
                       head=jnp.ones(B, bool),   # gaba starts at d_head
                       done=empty | bad0, bad=bad0,
@@ -182,7 +195,8 @@ def make_device_traceback(p: ScoreParams, W: int):
             in_f = live & ~at_i0 & ~at_j0 & ~oob & (phase == 1)
             in_e = live & ~at_i0 & ~at_j0 & ~oob & (phase == 2)
 
-            hb, vb, eb, fb = probe(pp, q)
+            # current cell's bits ride in the carry (see ccode0 above)
+            hb, vb, eb, fb = code_bits(st["ccode"])
 
 
             # dispatch: head tests the h side only; tail tests v first,
@@ -234,7 +248,18 @@ def make_device_traceback(p: ScoreParams, W: int):
                                        q[:, None] - m1 + Se,
                                        q[:, None] + Sd))   # (B, C)
             pp_tr = pp[:, None] - m1 * jnp.where(run_d[:, None], 2, 1)
-            hbt, vbt, ebt, fbt = code_bits(cell_code(pp_tr, q_tr))
+            # ONE gather probes the trajectory AND the two candidate
+            # one-base gf landing cells (columns C / C+1), so the next
+            # iteration's head probe is a carry update, not a gather
+            q_gfh = q + d_pp
+            q_gfv = q - (1 - d_pp)
+            cA = cell_code(
+                jnp.concatenate([pp_tr, (pp - 1)[:, None],
+                                 (pp - 1)[:, None]], axis=1),
+                jnp.concatenate([q_tr, q_gfh[:, None],
+                                 q_gfv[:, None]], axis=1))
+            cT = cA[:, :C]
+            hbt, vbt, ebt, fbt = code_bits(cT)
             okq = (q_tr >= 0) & (q_tr < W)
 
             # cont after probing position m (loop iteration m):
@@ -372,7 +397,20 @@ def make_device_traceback(p: ScoreParams, W: int):
             pp = jnp.where(live, pp_n, pp)
             q = jnp.where(live, q_n, q)
 
-            return dict(i=i, j=j, pp=pp, q=q, phase=phase_n,
+            # carry the landing cell's code: trajectory column
+            # n_run-1 for chained runs (arithmetic select, no gather),
+            # the pre-probed gf landing column for one-base gaps;
+            # boundary-drain lanes never read theirs
+            cN = jnp.sum(jnp.where(m1 == n_run[:, None], cT, 0),
+                         axis=1)
+            ccode = jnp.where(chain, cN,
+                              jnp.where(b_hgf, cA[:, C],
+                                        jnp.where(b_vgf, cA[:, C + 1],
+                                                  st["ccode"])))
+            ccode = jnp.where(live, ccode, st["ccode"])
+
+            return dict(i=i, j=j, pp=pp, q=q, ccode=ccode,
+                        phase=phase_n,
                         head=head_n, done=done_n, bad=bad_n,
                         t=st["t"] + 1, rle=rle, **c)
 
@@ -392,7 +430,11 @@ def make_device_traceback(p: ScoreParams, W: int):
              st["dcnt"], st["agcnt"], st["bgcnt"], st["n_open"],
              st["n_ext"], st["gf_pen"], st["e_pen"],
              score.astype(jnp.int32), ai.astype(jnp.int32),
-             bj.astype(jnp.int32)])
-        return st["rle"], summary
+             bj.astype(jnp.int32),
+             jnp.broadcast_to(st["t"], (B,)).astype(jnp.int32)])
+        # the static head slice ships alongside: when t_fin fits it,
+        # the harvest transfers the (small) head instead of paying an
+        # eager data-dependent device slice (a full dispatch round)
+        return st["rle"], st["rle"][:min(HEAD_T, T)], summary
 
     return run

@@ -274,6 +274,20 @@ class FillEngine:
         # fused down+up+trace dispatch (see _duo_fn); requires the
         # pallas path + device store
         self.supports_duo = bool(use_pallas)
+        # dispatch-shape statistics (MINIALIGN_STATS=1 prints at exit):
+        # (kind, n_real, B_padded) per device dispatch
+        self.stats = []
+        if _os.environ.get("MINIALIGN_STATS"):
+            import atexit
+
+            def _dump(st=self.stats):
+                import collections
+                import sys
+                c = collections.Counter(st)
+                for k, n in sorted(c.items()):
+                    print(f"[stats] {k[0]} nreal={k[1]} B={k[2]} "
+                          f"x{n}", file=sys.stderr)
+            atexit.register(_dump)
 
     def _bucket(self, n: int) -> int:
         # Pallas path: 4096 minimum merges the small rescue-probe
@@ -640,14 +654,16 @@ class FillEngine:
                 offb_u = qub + (qlen_r - tp1)
                 upres, bufs = fill_u(gau(sa, offa_u, lna_u), lna_u,
                                      gbu(sb, offb_u, lnb_u), lnb_u)
-                rle, summ = dt(bufs.masks, bufs.dirs, bufs.iheads,
-                               upres.max_score, upres.max_i,
-                               upres.max_j)
+                rle, head, summ = dt(bufs.masks, bufs.dirs,
+                                     bufs.iheads,
+                                     upres.max_score, upres.max_i,
+                                     upres.max_j)
                 # down results ride as 3 extra summary rows: ONE
                 # device->host array per harvest
                 dsum = jnp.stack([down.max_score, down.max_i,
                                   down.max_j])
-                return rle, jnp.concatenate([summ, dsum], axis=0)
+                return rle, head, jnp.concatenate([summ, dsum],
+                                                  axis=0)
 
             self._fns[key] = f
         return self._fns[key]
@@ -664,16 +680,16 @@ class FillEngine:
         if key not in self._fns:
             self._fns[key] = make_device_traceback(self.p, W)
         dt = self._fns[key]
-        rle_d, summary_d = dt(
+        rle_d, head_d, summary_d = dt(
             bufs.masks, bufs.dirs, bufs.iheads,
             res_d.max_score, res_d.max_i, res_d.max_j)
-        return (sub, W, rle_d, summary_d)
+        return (sub, W, rle_d, head_d, summary_d)
 
     def _trace_device_harvest(self, out, pend):
         from .dp.dtrace import SUMMARY_ROWS
         from .dp.traceback import TraceResult, _identity
 
-        sub, W, rle_d, summary_d = pend
+        sub, W, rle_d, head_d, summary_d = pend
         p = self.p
         nreal = len(sub)
         # ONE transfer for every per-problem scalar (each separate
@@ -688,9 +704,17 @@ class FillEngine:
         # encoding — the transfer dominated E2E on tunneled backends)
         tmax = int(n_ent.max()) if nreal else 0
         # uint8 view first: entries are bit-packed (op | len << 2)
-        # and wrap negative as int8 for len >= 32
-        rle = np.asarray(rle_d[:tmax, :nreal]).view(np.uint8) \
-            .astype(np.int32)
+        # and wrap negative as int8 for len >= 32.
+        # Typical walks finish inside the static head slice, whose
+        # transfer needs NO eager device slice (an eager slice is a
+        # dispatch: ~30 ms RPC on tunneled links, measured in
+        # tests/tools/dtbench.py — walk 95 ms vs +36 ms for the slice)
+        if head_d is not None and int(summ[SUMMARY_ROWS.index(
+                "t_fin"), 0] if nreal else 0) <= head_d.shape[0]:
+            rle = np.asarray(head_d)[:tmax, :nreal]
+        else:
+            rle = np.asarray(rle_d[:tmax, :nreal])
+        rle = rle.view(np.uint8).astype(np.int32)
 
         for s, i in enumerate(sub):
             score = int(ms[s])
@@ -879,6 +903,8 @@ class FillEngine:
                             not os.environ.get("MINIALIGN_HOST_TRACE"):
                         pending.append(self._trace_device_dispatch(
                             sub, W, res_d, bufs))
+                        self.stats.append(
+                            ("trace", -(-len(sub) // 16) * 16, B))
                         continue
                     res = type(res_d)(*(np.asarray(x) for x in res_d))
                     # the traceback walks backward from the max and
@@ -939,19 +965,34 @@ class FillEngine:
                     cp0_r[s] = cp0
                     cp1_r[s] = cp1
                 f = self._duo_fn(W, la, lb, lau, lbu, B)
-                rle_d, s16_d = f(
+                rle_d, head_d, s16_d = f(
                     ma["store2"], offa, ma["elen"],
                     mb["store2"], offb, mb["elen"],
                     rvbase, qub, rlen_r, qlen_r, cp0_r, cp1_r)
-                pending_duo.append((sub, rle_d, s16_d))
+                pending_duo.append((sub, rle_d, head_d, s16_d))
+                self.stats.append(("duo", -(-len(sub) // 16) * 16, B))
+        # start all device->host copies before any blocking harvest:
+        # summaries and rle heads of later batches stream over the
+        # link while earlier walks are still materializing
+        from .dp.dtrace import SUMMARY_ROWS as _SR
+        for pend in pending:
+            for x in (pend[3], pend[4]):
+                if hasattr(x, "copy_to_host_async"):
+                    x.copy_to_host_async()
+        for _, _, head_d, s16_d in pending_duo:
+            for x in (head_d, s16_d):
+                if hasattr(x, "copy_to_host_async"):
+                    x.copy_to_host_async()
         for pend in pending:
             self._trace_device_harvest(out, pend)
-        for sub, rle_d, s16_d in pending_duo:
+        nsr = len(_SR)
+        for sub, rle_d, head_d, s16_d in pending_duo:
             s16 = np.asarray(s16_d)[:, :len(sub)]
-            dsum = s16[13:16]
+            dsum = s16[nsr:nsr + 3]
             ups = [None] * len(sub)
             self._trace_device_harvest(ups, (list(range(len(sub))),
-                                             64, rle_d, s16[:13]))
+                                             64, rle_d, head_d,
+                                             s16[:nsr]))
             for s, i in enumerate(sub):
                 usc, uai, ubj, tr = ups[s]
                 out[i] = (int(dsum[0, s]), int(dsum[1, s]),

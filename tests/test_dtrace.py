@@ -59,7 +59,7 @@ def test_device_traceback_matches_host(pname):
     res = type(res)(*(np.asarray(x) for x in res))
 
     dt = dtrace.make_device_traceback(p, W)
-    rle, summary = dt(bufs.masks, bufs.dirs, bufs.iheads,
+    rle, _head, summary = dt(bufs.masks, bufs.dirs, bufs.iheads,
                       res.max_score, res.max_i, res.max_j)
     rle = np.asarray(rle)
     row = dict(zip(dtrace.SUMMARY_ROWS, np.asarray(summary)))

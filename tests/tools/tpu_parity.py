@@ -78,7 +78,7 @@ def main():
 
     # device traceback (on the accelerator) vs the host walker
     dt = dtrace.make_device_traceback(p, W)
-    rle, summary = dt(
+    rle, _head, summary = dt(
         b2.masks, b2.dirs, b2.iheads,
         r2.max_score, r2.max_i, r2.max_j)
     rle = np.asarray(rle).view(np.uint8).astype(np.int32)
