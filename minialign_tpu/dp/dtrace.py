@@ -40,8 +40,12 @@ from .band import BLK, M_E, M_EO, M_F, M_FO, M_GFA, M_GFB
 OP_PAD, OP_D, OP_R, OP_X = 0, 1, 2, 3
 import os as _os
 
-CHAIN = int(_os.environ.get("MINIALIGN_DTRACE_CHAIN", "16"))
-#                     probe depth per iteration for diag/gap runs
+CHAIN = int(_os.environ.get("MINIALIGN_DTRACE_CHAIN", "24"))
+# probe depth per iteration for diag/gap runs: sweep on the v5e
+# (tests/tools/dtbench.py, 128 x 20 kb): 16 -> 93.6 ms, 24 -> 88.0,
+# 32 -> 90.7 — the walk is gather-VOLUME-bound (~20 ns/elem; B=256
+# scales linearly), so deeper probes trade iteration count against
+# wasted trajectory columns and 24 is the shallow optimum
 LEN_CAP = 63              # int8 entry: op | len << 2
 # static head-slice rows returned next to the full rle buffer: when
 # the walk finished within HEAD_T iterations (the typical case — run
