@@ -45,7 +45,11 @@ CHAIN = int(_os.environ.get("MINIALIGN_DTRACE_CHAIN", "24"))
 # (tests/tools/dtbench.py, 128 x 20 kb): 16 -> 93.6 ms, 24 -> 88.0,
 # 32 -> 90.7 — the walk is gather-VOLUME-bound (~20 ns/elem; B=256
 # scales linearly), so deeper probes trade iteration count against
-# wasted trajectory columns and 24 is the shallow optimum
+# wasted trajectory columns and 24 is the shallow optimum.
+# Bounds: the dir window gathers 3 words (96 dir bits), which covers
+# a probe only while 2*CHAIN-1 <= 95 with rel <= 2, i.e. CHAIN <= 32
+# given BLK=32; CHAIN == 1 would crash on the zero-width cumprod.
+CHAIN = min(max(CHAIN, 2), 32)
 LEN_CAP = 63              # int8 entry: op | len << 2
 # static head-slice rows returned next to the full rle buffer: when
 # the walk finished within HEAD_T iterations (the typical case — run

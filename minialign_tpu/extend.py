@@ -275,10 +275,14 @@ class FillEngine:
         # pallas path + device store
         self.supports_duo = bool(use_pallas)
         # dispatch-shape statistics (MINIALIGN_STATS=1 prints at exit):
-        # (kind, n_real, B_padded) per device dispatch
-        self.stats = []
+        # (kind, n_real, B_padded) per device dispatch. None when the
+        # flag is unset so long-lived processes don't grow the list
+        # unboundedly (the atexit dump is the only consumer).
+        self.stats = None
         if _os.environ.get("MINIALIGN_STATS"):
             import atexit
+
+            self.stats = []
 
             def _dump(st=self.stats):
                 import collections
@@ -557,14 +561,18 @@ class FillEngine:
                             self._fns[dkey] = \
                                 make_device_traceback(self.p, W)
                     dt = self._fns[dkey]
-                    rle, summ = dt(bufs.masks, bufs.dirs, bufs.iheads,
-                                   res_d.max_score, res_d.max_i,
-                                   res_d.max_j)
+                    rle, _head, summ = dt(
+                        bufs.masks, bufs.dirs, bufs.iheads,
+                        res_d.max_score, res_d.max_i, res_d.max_j)
                     np.asarray(summ[:1, :1])
                 else:
                     np.asarray(r.max_score[:1])
-            except Exception:
-                pass        # the real dispatch surfaces any error
+            except Exception as e:
+                # the real dispatch surfaces any error; log so an API
+                # drift that silently skips execute-warming is visible
+                import sys
+                print(f"[minialign] prewarm {key}: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
 
         if not hasattr(self, "_warm_lock"):
             self._warm_lock = threading.Lock()
@@ -903,8 +911,9 @@ class FillEngine:
                             not os.environ.get("MINIALIGN_HOST_TRACE"):
                         pending.append(self._trace_device_dispatch(
                             sub, W, res_d, bufs))
-                        self.stats.append(
-                            ("trace", -(-len(sub) // 16) * 16, B))
+                        if self.stats is not None:
+                            self.stats.append(
+                                ("trace", -(-len(sub) // 16) * 16, B))
                         continue
                     res = type(res_d)(*(np.asarray(x) for x in res_d))
                     # the traceback walks backward from the max and
@@ -970,7 +979,9 @@ class FillEngine:
                     mb["store2"], offb, mb["elen"],
                     rvbase, qub, rlen_r, qlen_r, cp0_r, cp1_r)
                 pending_duo.append((sub, rle_d, head_d, s16_d))
-                self.stats.append(("duo", -(-len(sub) // 16) * 16, B))
+                if self.stats is not None:
+                    self.stats.append(
+                        ("duo", -(-len(sub) // 16) * 16, B))
         # start all device->host copies before any blocking harvest:
         # summaries and rle heads of later batches stream over the
         # link while earlier walks are still materializing

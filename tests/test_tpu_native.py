@@ -31,10 +31,18 @@ def test_tpu_kernel_parity_subprocess():
             "PALLAS_AXON_REMOTE_COMPILE")
     env = {k: os.environ[k] for k in base if k in os.environ}
     # per-round artifact: the parity run records what it compared
-    # (TPU_PARITY_r*.json at the repo root, VERDICT round-2 item 8)
+    # (TPU_PARITY_r*.json at the repo root, VERDICT round-2 item 8).
+    # The round number is one past the newest committed BENCH_r*.json
+    # so `pytest -m tpu` keeps producing the right artifact each round.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["TPU_PARITY_ARTIFACT"] = os.path.join(root,
-                                              "TPU_PARITY_r03.json")
+    import glob
+    import re
+    rounds = [int(m.group(1)) for f in glob.glob(
+        os.path.join(root, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))]
+    rnum = (max(rounds) + 1) if rounds else 1
+    env["TPU_PARITY_ARTIFACT"] = os.path.join(
+        root, f"TPU_PARITY_r{rnum:02d}.json")
     r = None
     for attempt in range(3):   # tunneled backends flake under load
         r = subprocess.run(
