@@ -57,6 +57,19 @@ from .band import BLK, NCODE, TAIL_N, FillResult, TraceBuffers, score_floor
  R_NSEG, R_CDROP) = range(10)
 NROWS = 16
 
+# Step-math compute dtype. float32 on v5e: the VPU's fp path runs the
+# add/max mix ~1.6x faster than int32 (integer max is emulated;
+# tests/tools/probe_bf16ops.py, round 4: 31 vs 49 ns/step on the
+# 6-array mix). Every band value is an integer with |v| <= ~2^17
+# (scores bounded by plim * max_match, floor at about -2^15), exactly
+# representable in f32's 24-bit mantissa — adds/maxes/compares are
+# bit-exact, so parity is unaffected. int32 remains selectable for
+# A/B: MINIALIGN_FILL_DTYPE=int32.
+import os as _os
+
+FDT = jnp.int32 if _os.environ.get(
+    "MINIALIGN_FILL_DTYPE") == "int32" else jnp.float32
+
 
 def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
             bulk: bool = False, trace: bool = True):
@@ -141,22 +154,25 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
     # code 4 (N/pad) has bit 2 set: field tests are single mask-cmps
     n_l = (P_new & 0x24) != 0
     n_h = (P_new & 0x240000) != 0
+    # substitution scores are produced directly in FDT (the char field
+    # tests stay int32; only the selected VALUES are FDT constants)
+    cst = functools.partial(jnp.asarray, dtype=FDT)
     if len(set(np.diag(mat).tolist())) == 1 and \
             len(set(mat[~np.eye(4, dtype=bool)].tolist())) == 1:
         m_, x_ = int(mat[0, 0]), int(mat[0, 1])
-        sub_l = jnp.where(al == bl, m_, x_)
-        sub_h = jnp.where(ah == bh, m_, x_)
+        sub_l = jnp.where(al == bl, cst(m_), cst(x_))
+        sub_h = jnp.where(ah == bh, cst(m_), cst(x_))
     else:
-        sub_l = jnp.zeros_like(al)
-        sub_h = jnp.zeros_like(ah)
+        sub_l = jnp.zeros(al.shape, FDT)
+        sub_h = jnp.zeros(ah.shape, FDT)
         for y in range(4):
             for x in range(4):
                 sub_l = jnp.where((al == x) & (bl == y),
-                                  int(mat[y, x]), sub_l)
+                                  cst(int(mat[y, x])), sub_l)
                 sub_h = jnp.where((ah == x) & (bh == y),
-                                  int(mat[y, x]), sub_h)
-    sub_l = jnp.where(n_l, n_sub, sub_l)
-    sub_h = jnp.where(n_h, n_sub, sub_h)
+                                  cst(int(mat[y, x])), sub_h)
+    sub_l = jnp.where(n_l, cst(n_sub), sub_l)
+    sub_h = jnp.where(n_h, cst(n_sub), sub_h)
     subsc = jnp.concatenate([sub_l, sub_h], axis=0)
 
     S_new = jnp.maximum(
@@ -196,8 +212,10 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
         else:
             gap_a_j = -gi * (j_lane > 0) - ge * j_lane
             gap_b_i = -gi * (i_lane > 0) - ge * i_lane
-        gap_a_j = jnp.maximum(gap_a_j, floor)
-        gap_b_i = jnp.maximum(gap_b_i, floor)
+        # computed in int32 from the lane iotas, consumed in FDT; the
+        # ladders are bounded by ge * plim (< 2^17), exact in f32
+        gap_a_j = jnp.maximum(gap_a_j, floor).astype(FDT)
+        gap_b_i = jnp.maximum(gap_b_i, floor).astype(FDT)
 
         on_i0 = (i_lane == 0) & (j_lane >= 0)
         on_j0 = (j_lane == 0) & (i_lane >= 0)
@@ -383,9 +401,12 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
             carry0 = (S_ref[:], Sp_ref[:], E_ref[:], F_ref[:],
                       P_ref[:],
                       ihead0, sc_ref[R_RPREV:R_RPREV + 1])
-            track0 = (sc_ref[R_GMAX:R_GMAX + 1], sc_ref[R_GI:R_GI + 1],
+            # gmax/cdrop ride FDT inside the loop (the step math's
+            # dtype); the sc rows stay int32 and round-trip exactly
+            track0 = (sc_ref[R_GMAX:R_GMAX + 1].astype(FDT),
+                      sc_ref[R_GI:R_GI + 1],
                       sc_ref[R_GJ:R_GJ + 1],
-                      sc_ref[R_CDROP:R_CDROP + 1],
+                      sc_ref[R_CDROP:R_CDROP + 1].astype(FDT),
                       S_ref[c:c + 1], p0)
             term0 = sc_ref[R_TERM:R_TERM + 1]
             nsteps0 = sc_ref[R_NSTEPS:R_NSTEPS + 1]
@@ -541,11 +562,11 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
             sc_ref[R_IHEAD:R_IHEAD + 1] = ihead
             sc_ref[R_RPREV:R_RPREV + 1] = rprev
             sc_ref[R_TERM:R_TERM + 1] = term
-            sc_ref[R_GMAX:R_GMAX + 1] = track[0]
+            sc_ref[R_GMAX:R_GMAX + 1] = track[0].astype(jnp.int32)
             sc_ref[R_GI:R_GI + 1] = track[1]
             sc_ref[R_GJ:R_GJ + 1] = track[2]
             sc_ref[R_NSTEPS:R_NSTEPS + 1] = nsteps
-            sc_ref[R_CDROP:R_CDROP + 1] = track[3]
+            sc_ref[R_CDROP:R_CDROP + 1] = track[3].astype(jnp.int32)
             sc_ref[R_NSEG:R_NSEG + 1] = nseg_row + 1
 
             if trace:
@@ -635,10 +656,10 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
                      constant_values=NCODE).T
         st0 = band._init_band(p, W, B, a, b)
 
-        S = st0["S"].T
-        Sp = st0["Sp"].T
-        E = st0["E"].T
-        F = st0["F"].T
+        S = st0["S"].T.astype(FDT)
+        Sp = st0["Sp"].T.astype(FDT)
+        E = st0["E"].T.astype(FDT)
+        F = st0["F"].T.astype(FDT)
         # band chars packed 2-lanes-per-int32 — see _step_t
         H = W // 2
         pk_full = (st0["achar"].T.astype(jnp.int32) << 3) \
@@ -663,10 +684,10 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
 
         anys = pl.BlockSpec(memory_space=pltpu.ANY)
         state_shapes = [
-            jax.ShapeDtypeStruct((W, B), jnp.int32),   # S
-            jax.ShapeDtypeStruct((W, B), jnp.int32),   # Sp
-            jax.ShapeDtypeStruct((W, B), jnp.int32),   # E
-            jax.ShapeDtypeStruct((W, B), jnp.int32),   # F
+            jax.ShapeDtypeStruct((W, B), FDT),         # S
+            jax.ShapeDtypeStruct((W, B), FDT),         # Sp
+            jax.ShapeDtypeStruct((W, B), FDT),         # E
+            jax.ShapeDtypeStruct((W, B), FDT),         # F
             jax.ShapeDtypeStruct((W // 2, B), jnp.int32),  # P (chars)
             jax.ShapeDtypeStruct((NROWS, B), jnp.int32),  # scalar rows
         ]
