@@ -245,12 +245,20 @@ def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
 
 
 
+def _div10(x):
+    """Exact floor(x / 10) for int32 x in [0, 2**19), as vector ops
+    (Mosaic has no integer vector divide): f32 multiply by fl(0.1)
+    then truncate. Verified exhaustively over the full range in
+    tests/test_pallas_fill.py::test_div10_exhaustive."""
+    return (x.astype(jnp.float32) * 0.1).astype(jnp.int32)
+
+
 def _extract_window(src_ref, off, SL: int, P: int, B: int,
                     scr0_ref, scr1_ref):
-    """Per-problem window gather without DMA: returns the (SL, B) int8
+    """Per-problem window gather without DMA: returns the (SL, B)
     window with row r = src[off_b + r, b] for each lane b.
 
-    src_ref is (2**P + SL, B) int8 (NCODE-padded past the data) and
+    src_ref is (2**P + SL, B) (sentinel-padded past the data) and
     off is a (1, B) int32 in [0, 2**P]. The per-lane offset is removed
     one binary digit at a time, top-down: level k selects, per lane,
     between the slice shifted by 2**k and the unshifted slice
@@ -277,23 +285,38 @@ def _extract_window(src_ref, off, SL: int, P: int, B: int,
 
 def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                       K: int, n_seg: int, PA: int, PB: int,
+                      PSRCA: int, PSRCB: int,
                       tlA: bool = False, tlB: bool = False,
-                      J: int = 8, PS: int = 10):
+                      J: int = 8, PSUP: int = 7, PSEG: int = 4):
     """Whole-fill kernel: ONE pallas launch runs every 32-step block of
     every problem to completion (per-launch dispatch costs ~300us on
     tunneled backends — the multi-launch design spent 6x more time
     launching than filling). Segments of K blocks alternate:
-      extract char windows (per-problem offsets, _extract_window)
+      extract char windows (per-problem offsets, word-packed cascade)
       -> 32*K register-resident band steps (the fori carry fits the
-         vector register file: 4 int32 (W,B) + 2 int8 chars + 2 int8
+         vector register file: 4 f32 (W,B) + packed chars + 2 int8
          slabs + a few rows)
       -> stage out masks (trace) via aligned DMA to HBM.
     An in-kernel while_loop exits early when every problem has hit
     X-drop or its p limit. The reference equivalent of one segment is
-    fill_bulk_k_blocks (gaba.c:1873)."""
+    fill_bulk_k_blocks (gaba.c:1873).
+
+    Char sourcing (round 4): sources arrive PACKED 10 chars per int32
+    (3-bit fields), so every per-lane-offset cascade runs over ~10x
+    fewer rows than the round-3 int8 design (the cascades were ~40% of
+    step time at L=20k). Hierarchy, all offsets in WORD units:
+      source (2**PSRC + win rows)
+        -> [tl only] super window, refreshed every J segments
+        -> segment window (SEGW = 2**PSEG + 5 rows), per segment
+        -> 5-row block window -> phase-align -> 32-row int8 slab
+           (broadcast-row + static per-sublane shifts).
+    The reference analogue is fill_fetch's constant 32+32 bases per
+    block (gaba.c:958-1144)."""
     floor = score_floor(p)
     c = W // 2
     SL = K * BLK
+    SEGW = (1 << PSEG) + 5
+    SUPW = (1 << PSUP) + SEGW
 
     def kernel(*refs):
         # signature: 9 inputs, then outputs, then scratch. The state
@@ -301,7 +324,7 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
         # blocking miscompiles: chunks past the first come back
         # uninitialized); instead the state is copied in explicitly at
         # the start of each grid step.
-        aT_ref, bT_ref = refs[0], refs[1]
+        wa_ref, wb_ref = refs[0], refs[1]
         ins = refs[2:8]
         rest = list(refs[8:])
         if trace:
@@ -311,8 +334,8 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
         else:
             (S_ref, Sp_ref, E_ref, F_ref, P_ref, sc_ref) = rest[:6]
             rest = rest[6:]
-        scr0, scr1 = rest[0], rest[1]
-        rest = rest[2:]
+        scr0, scr1, scrW, segwa_ref, segwb_ref = rest[:5]
+        rest = rest[5:]
         supa_ref = supb_ref = basesc = None
         if tlA or tlB:
             basesc = rest[0]
@@ -366,19 +389,17 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
             jhead0 = (p0 + 2) - ihead0 + (W - 1)
             offa = jnp.clip(ihead0, 0, 1 << PA)
             offb = jnp.clip(jhead0, 0, 1 << PB)
-            # two-level extraction (long sources): every J segments a
-            # super-window of 2**PS + SL rows is extracted from the
-            # full source at the current offset; per-BLOCK 32-row
-            # windows then extract from it (or from the source when it
-            # is short) at offsets that replicate the roll-consumption
-            # row sequence exactly: the a-side has consumed
-            # (ihead - ihead0) rows since the segment head and the
-            # b-side the complementary count, so the block window
-            # starts at the segment-start clipped offset plus that
-            # advance — bit-identical rows by construction. Offsets
-            # advance <= SL per segment, so J*SL <= 2**PS guarantees
-            # super-window coverage.
-            SUPL = (1 << PS) + SL
+            # word-packed windows (all offsets below in WORD units;
+            # offa/offb stay in chars): the a-side has consumed
+            # (ihead - ihead0) chars since the segment head and the
+            # b-side the complementary count, so every window is
+            # positioned from the segment-start clipped offset plus
+            # that advance — bit-identical chars by construction.
+            # Offsets advance <= SL chars per segment, so the segment
+            # window (SEGW rows) covers a whole segment and, when tl,
+            # J segments stay inside the super window (PSUP bits).
+            sgb_a = _div10(offa)
+            sgb_b = _div10(offb)
             if tlA or tlB:
                 refresh = (seg % J) == 0
 
@@ -386,12 +407,26 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                 def _():
                     if tlA:
                         supa_ref[...] = _extract_window(
-                            aT_ref, offa, SUPL, PA, B, scr0, scr1)
-                        basesc[0:1] = offa
+                            wa_ref, sgb_a, SUPW, PSRCA, B, scr0, scr1)
+                        basesc[0:1] = sgb_a
                     if tlB:
                         supb_ref[...] = _extract_window(
-                            bT_ref, offb, SUPL, PB, B, scr0, scr1)
-                        basesc[1:2] = offb
+                            wb_ref, sgb_b, SUPW, PSRCB, B, scr0, scr1)
+                        basesc[1:2] = sgb_b
+            if tlA:
+                segwa_ref[...] = _extract_window(
+                    supa_ref, sgb_a - basesc[0:1], SEGW, PSUP, B,
+                    scr0, scr1)
+            else:
+                segwa_ref[...] = _extract_window(
+                    wa_ref, sgb_a, SEGW, PSRCA, B, scr0, scr1)
+            if tlB:
+                segwb_ref[...] = _extract_window(
+                    supb_ref, sgb_b - basesc[1:2], SEGW, PSUP, B,
+                    scr0, scr1)
+            else:
+                segwb_ref[...] = _extract_window(
+                    wb_ref, sgb_b, SEGW, PSRCB, B, scr0, scr1)
 
             if trace:
                 iheads_ref[pl.ds(seg * K, 1)] = ihead0
@@ -422,32 +457,38 @@ def _make_fill_kernel(p: ScoreParams, W: int, B: int, trace: bool,
                 # carries an i1 vector layout
                 live32 = (term == 0).astype(jnp.int32)
 
-                # per-block 32-row char windows (1 vreg each in the
-                # step carry). Row offsets replicate the segment-slab
+                # per-block 32-row char slabs (1 vreg each in the
+                # step carry). Offsets replicate the segment-slab
                 # roll sequence: a-side advance = ihead - ihead0,
-                # b-side advance = steps - a-advance.
+                # b-side advance = steps - a-advance. The slab is
+                # built from the word-packed segment window: a 5-row
+                # word window at the per-lane word offset, phase-
+                # aligned (2 shifts + or), then unpacked via
+                # broadcast-row + static per-sublane shifts — constant
+                # cost per block regardless of source length.
                 adv_a = ihead_b - ihead0
                 adv_b = (pp_b - p0) - adv_a
-                if tlA:
-                    ra = jnp.clip(offa + adv_a - basesc[0:1],
-                                  0, 1 << PS)
-                    aslab = _extract_window(supa_ref, ra, BLK, PS, B,
-                                            scr0, scr1)
-                else:
-                    ra = jnp.clip(offa + adv_a, 0, 1 << PA)
-                    aslab = _extract_window(aT_ref, ra, BLK, PA, B,
-                                            scr0, scr1)
-                if tlB:
-                    rb = jnp.clip(offb + adv_b - basesc[1:2],
-                                  0, 1 << PS)
-                    bslab = _extract_window(supb_ref, rb, BLK, PS, B,
-                                            scr0, scr1)
-                else:
-                    rb = jnp.clip(offb + adv_b, 0, 1 << PB)
-                    bslab = _extract_window(bT_ref, rb, BLK, PB, B,
-                                            scr0, scr1)
-                # layout-normalize through the step carry: values from
-                # _extract_window are already normalized (ref reload)
+                shv10 = 3 * jax.lax.broadcasted_iota(
+                    jnp.int32, (10, 1), 0)
+
+                def mkslab(segw_ref, t):
+                    # t = chars consumed past the segment word base;
+                    # t <= 9 + (K-1)*BLK < 2**PSEG * 10 by design
+                    wq = _div10(t)
+                    wph = t - 10 * wq
+                    w5 = _extract_window(segw_ref, wq, 5, PSEG, B,
+                                         scr0, scr1)
+                    aw = (w5[0:4] >> (3 * wph)) \
+                        | (w5[1:5] << (30 - 3 * wph))
+                    for j in range(4):
+                        scrW[10 * j:10 * j + 10] = (pltpu.repeat(
+                            aw[j:j + 1], 10, axis=0) >> shv10) & 7
+                    # value read materializes before the next mkslab
+                    # overwrites scrW (ref effects are program-ordered)
+                    return scrW[0:BLK].astype(jnp.int8)
+
+                aslab = mkslab(segwa_ref, offa + adv_a - 10 * sgb_a)
+                bslab = mkslab(segwb_ref, offb + adv_b - 10 * sgb_b)
 
                 def step_body(t, state):
                     if trace:
@@ -632,28 +673,48 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             b = jnp.pad(b, ((0, B - B0), (0, 0)), constant_values=NCODE)
             alen = jnp.pad(jnp.asarray(alen), (0, B - B0))
             blen = jnp.pad(jnp.asarray(blen), (0, B - B0))
-        # pad to (2**P + window) rows of NCODE sentinel: window offsets
-        # are clipped to [0, 2**P], so every out-of-data row reads
-        # NCODE. Long sources use two-level extraction (J-segment
-        # super-windows of 2**PS + SL rows, see _make_fill_kernel).
+        # sources ship 10-chars-per-int32 word-packed (3-bit fields,
+        # NCODE sentinel past the data): every per-lane cascade runs
+        # over ~10x fewer rows than the int8 layout. Segment-offset
+        # clips stay in CHAR units [0, 2**PA] to keep the round-3
+        # boundary semantics bit-identical.
         PA = max((LA + SL - 1).bit_length(), 3)
         PB = max((LB + SL - 1).bit_length(), 3)
-        J = 8
-        PS = max((J * SL).bit_length() - 1, 3)
-        if (1 << PS) < J * SL:
-            PS += 1
-        SUPL = (1 << PS) + SL
-        # per-BLOCK extraction makes the non-super path pay O(2**PA)
-        # per block, so any source longer than the super-window routes
-        # through two-level (was PS + 2 when extraction was per-segment)
-        tlA = PA > PS
-        tlB = PB > PS
-        LAp = (1 << PA) + (SUPL if tlA else SL)
-        LBp = (1 << PB) + (SUPL if tlB else SL)
-        aT = jnp.pad(a, ((0, 0), (0, LAp - LA)),
-                     constant_values=NCODE).T          # (LAp, B) int8
-        bT = jnp.pad(b, ((0, 0), (0, LBp - LB)),
-                     constant_values=NCODE).T
+        # _div10 is exhaustively exact below 2**19
+        assert PA <= 18 and PB <= 18, "source too long for word path"
+        J = int(_os.environ.get("MINIALIGN_FILL_J", "8"))
+        PSEG = max(((SL + 9) // 10).bit_length(), 1)
+        SEGW = (1 << PSEG) + 5
+        PSUP = max(((J * SL + 9) // 10).bit_length(), PSEG)
+        SUPW = (1 << PSUP) + SEGW
+        PSRCA = max(((1 << PA) // 10 + 1).bit_length(), 1)
+        PSRCB = max(((1 << PB) // 10 + 1).bit_length(), 1)
+
+        # two-level iff the J-amortized super refresh beats cascading
+        # each segment window against the full source range
+        def _cntl(P):
+            return sum(SEGW + (1 << k) for k in range(P))
+
+        def _ctl(P):
+            return _cntl(PSUP) + \
+                sum(SUPW + (1 << k) for k in range(P)) // J
+        tlA = _ctl(PSRCA) < _cntl(PSRCA)
+        tlB = _ctl(PSRCB) < _cntl(PSRCB)
+        LWAp = (1 << PSRCA) + (SUPW if tlA else SEGW)
+        LWBp = (1 << PSRCB) + (SUPW if tlB else SEGW)
+
+        def pack_words(x, LWp):
+            need = LWp * 10
+            x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])),
+                        constant_values=NCODE)
+            xw = x.reshape(x.shape[0], LWp, 10).astype(jnp.int32)
+            w = xw[..., 0]
+            for k in range(1, 10):
+                w = w | (xw[..., k] << (3 * k))
+            return w.T                                 # (LWp, B) int32
+
+        wa = pack_words(a, LWAp)
+        wb = pack_words(b, LWBp)
         st0 = band._init_band(p, W, B, a, b)
 
         S = st0["S"].T.astype(FDT)
@@ -674,7 +735,8 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
 
         NB = max_blocks
         kernel = _make_fill_kernel(p, W, BC, trace, K, n_seg, PA, PB,
-                                   tlA=tlA, tlB=tlB, J=J, PS=PS)
+                                   PSRCA, PSRCB, tlA=tlA, tlB=tlB,
+                                   J=J, PSUP=PSUP, PSEG=PSEG)
 
         def chunked(shape):
             blk = shape[:-1] + (BC,)
@@ -693,20 +755,31 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         ]
         state_specs = [chunked((W, B))] * 4 \
             + [chunked((W // 2, B)), chunked((NROWS, B))]
-        in_specs = [chunked((LAp, B)), chunked((LBp, B))] + state_specs
-        # scratch must fit the largest extraction at either level
-        win = max(SUPL if (tlA or tlB) else SL, SL)
-        scrlen = win + (1 << max(max(PA, PB) - 1, 0))
+        in_specs = [chunked((LWAp, B)), chunked((LWBp, B))] \
+            + state_specs
+
+        # scr0/scr1 must fit the largest cascade intermediate
+        def _cmax(win, P):
+            return win + (1 << max(P - 1, 0))
+        scrlen = max(
+            _cmax(5, PSEG),
+            _cmax(SEGW, PSUP if tlA else PSRCA),
+            _cmax(SEGW, PSUP if tlB else PSRCB),
+            _cmax(SUPW, PSRCA) if tlA else 0,
+            _cmax(SUPW, PSRCB) if tlB else 0)
         scratch = [
-            pltpu.VMEM((scrlen, BC), jnp.int8),
-            pltpu.VMEM((scrlen, BC), jnp.int8),
+            pltpu.VMEM((scrlen, BC), jnp.int32),
+            pltpu.VMEM((scrlen, BC), jnp.int32),
+            pltpu.VMEM((40, BC), jnp.int32),     # slab40 unpack
+            pltpu.VMEM((SEGW, BC), jnp.int32),   # segment window a
+            pltpu.VMEM((SEGW, BC), jnp.int32),   # segment window b
         ]
         if tlA or tlB:
             scratch.append(pltpu.VMEM((8, BC), jnp.int32))   # bases
         if tlA:
-            scratch.append(pltpu.VMEM((SUPL, BC), jnp.int8))
+            scratch.append(pltpu.VMEM((SUPW, BC), jnp.int32))
         if tlB:
-            scratch.append(pltpu.VMEM((SUPL, BC), jnp.int8))
+            scratch.append(pltpu.VMEM((SUPW, BC), jnp.int32))
         if trace:
             out_shape = state_shapes + [
                 jax.ShapeDtypeStruct((nchunk, NB, BLK, 16, BC),
@@ -735,7 +808,7 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )
-        outs = call(aT, bT, S, Sp, E, F, P, sc)
+        outs = call(wa, wb, S, Sp, E, F, P, sc)
         sc = outs[5][:, :B0]
 
         res = FillResult(max_score=sc[R_GMAX], max_i=sc[R_GI],
