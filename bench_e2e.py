@@ -182,6 +182,8 @@ def main():
     if prof:
         st = pstats.Stats(prof, stream=sys.stderr)
         st.sort_stats("cumulative").print_stats(40)
+        st.sort_stats("tottime").print_stats(30)
+        st.dump_stats("/tmp/bench_e2e.prof")
 
 
 if __name__ == "__main__":

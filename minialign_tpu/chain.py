@@ -70,7 +70,15 @@ def collect_seeds(mi: MMIndex, qcodes: np.ndarray) -> SeedState:
     """Round-0 seed collection (mm_collect_seed, minialign.c:3454-3493),
     fully vectorized: minimizer hits are classified (drop / rescue /
     expand) with boolean masks and the kept runs expanded with one
-    repeat+gather (replacing the per-minimizer Python loop)."""
+    repeat+gather (replacing the per-minimizer Python loop). The whole
+    pass (sketch + lookup + expand) runs as ONE native call when the
+    library and the bucket-major index layout are available; equality
+    with this numpy path is enforced by tests/test_native.py."""
+    from . import native
+    r = native.collect_seeds(mi, qcodes)
+    if r is not None:
+        up, vp, rd, resc = r
+        return SeedState(upos=up, vpos=vp, rid=rd, resc=resc, presc=0)
     h, qpos, fr = sketch(np.asarray(qcodes, np.int64) & 3, mi.k, mi.w)
     start, cnt = mi.lookup(h)
 

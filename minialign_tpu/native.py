@@ -353,6 +353,75 @@ def sketch_seq(codes: np.ndarray, k: int, w: int):
         cap = min(max(L, 1), scr["cap"] * 4)
 
 
+def _bind_collect(lib):
+    if hasattr(lib, "_collect_bound"):
+        return
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.collect_seeds_c.restype = ctypes.c_int64
+    lib.collect_seeds_c.argtypes = [
+        i8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        u64p, ctypes.c_int64, i64p, ctypes.c_int32,
+        u32p, u32p, u32p, ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, i32p, ctypes.c_int64,
+        i64p, ctypes.c_int64, i64p]
+    lib._collect_bound = True
+
+
+_collect_tls = threading.local()
+
+
+def collect_seeds(mi, qcodes: np.ndarray):
+    """Fused round-0 seed collection: sketch + bucket-CSR lookup +
+    mm_expand in one native pass (mm_collect_seed parity,
+    minialign.c:3454-3493). Returns (upos, vpos, rid, resc) int32x3 +
+    (m, 3) int64, or None when unavailable (no native lib, legacy
+    index layout, or w > 64) — callers fall back to the numpy path."""
+    lib = _load()
+    if lib is None or getattr(mi, "bkt_off", None) is None or mi.w > 64:
+        return None
+    if mi.offsets.dtype != np.uint32 or mi.vals_pos.dtype != np.uint32 \
+            or mi.vals_rid.dtype != np.uint32:
+        return None
+    _bind_collect(lib)
+    c = np.ascontiguousarray(np.asarray(qcodes) & 3, np.int8)
+    L = len(c)
+    scr = getattr(_collect_tls, "scr", None)
+    if scr is None:
+        scr = _collect_tls.scr = {"cap_s": 0, "cap_r": 0}
+    cap_s = max(16 * L // max(mi.w, 1) + 4096, 1024)
+    cap_r = max(4 * L // max(mi.w, 1) + 1024, 256)
+    nresc = np.zeros(1, np.int64)
+    keys = mi.keys
+    bkt_off = mi.bkt_off
+    while True:
+        if scr["cap_s"] < cap_s:
+            scr["up"] = np.empty(cap_s, np.int32)
+            scr["vp"] = np.empty(cap_s, np.int32)
+            scr["rd"] = np.empty(cap_s, np.int32)
+            scr["cap_s"] = cap_s
+        if scr["cap_r"] < cap_r:
+            scr["resc"] = np.empty((cap_r, 3), np.int64)
+            scr["cap_r"] = cap_r
+        ns = lib.collect_seeds_c(
+            c, L, mi.k, mi.w, keys, len(keys), bkt_off, mi.b,
+            mi.offsets, mi.vals_pos, mi.vals_rid,
+            int(mi.max_occ), int(mi.occ[0]),
+            scr["up"], scr["vp"], scr["rd"], scr["cap_s"],
+            scr["resc"].reshape(-1), scr["cap_r"], nresc)
+        if ns >= 0:
+            nr = int(nresc[0])
+            return (scr["up"][:ns].copy(), scr["vp"][:ns].copy(),
+                    scr["rd"][:ns].copy(), scr["resc"][:nr].copy())
+        if ns == -1:
+            cap_s = scr["cap_s"] * 4
+        else:
+            cap_r = scr["cap_r"] * 4
+
+
 def _bind_chain(lib):
     if hasattr(lib, "_chain_bound"):
         return

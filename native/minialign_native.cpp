@@ -21,6 +21,9 @@
 #include <cstring>
 #include <cmath>
 #include <vector>
+#ifdef __SSE4_2__
+#include <nmmintrin.h>
+#endif
 
 extern "C" {
 
@@ -527,12 +530,20 @@ static void crc_init() {
 }
 
 static inline uint64_t crc32c_u64(uint64_t crc, uint64_t val) {
+#ifdef __SSE4_2__
+  // the hardware CRC32-C (same reflected 0x82F63B78 polynomial, no
+  // pre/post inversion) computes the identical byte-loop update —
+  // the reference's own hash64 uses this instruction
+  // (minialign.c:2353 via _mm_crc32_u64)
+  return (uint64_t)_mm_crc32_u64((uint32_t)crc, val);
+#else
   uint32_t r = (uint32_t)crc;
   for (int i = 0; i < 8; i++) {
     uint32_t byte = (uint32_t)((val >> (8 * i)) & 0xFF);
     r = (r >> 8) ^ crc_table[(r ^ byte) & 0xFF];
   }
   return (uint64_t)r;
+#endif
 }
 
 // codes: (L,) 2-bit codes. Emits (hash, pos, strand) minimizer
@@ -601,6 +612,84 @@ int64_t sketch_seq(const int8_t* codes, int64_t L, int32_t k, int32_t w,
     if (++rp >= w) rp = 0;
   }
   return cnt;
+}
+
+// ---------------------------------------------------------------------------
+// round-0 seed collection (mm_collect_seed, minialign.c:3454-3493):
+// sketch + two-stage index lookup + classify + mm_expand
+// (minialign.c:3420-3446) fused into one pass, replacing the Python
+// sketch-wrapper + vectorized-numpy-lookup + repeat/gather pipeline
+// (~1.2 s of the round-3 host worker on 500 x 20 kb reads).
+// ---------------------------------------------------------------------------
+
+// codes: (L,) 2-bit query codes. Index arrays are the bucket-major
+// layout (index/build.py): keys u64 sorted by (h & (2^b-1), h >> b),
+// bkt_off (2^b+1) int64 CSR heads, offsets u32 (nkeys+1) hit-run CSR,
+// vals_pos/vals_rid u32. Emits expanded seeds [upos, vpos, rid] (the
+// rotated int32 coordinates) in minimizer order, hits in index order
+// within a run, and rescue rows [qs, cnt, start] (int64) for runs with
+// occ0 < cnt <= max_occ. Returns the seed count, or -1 (-2) when the
+// seed (resc) capacity would overflow — callers grow and retry.
+int64_t collect_seeds_c(const int8_t* codes, int64_t L, int32_t k,
+                        int32_t w,
+                        const uint64_t* keys, int64_t nkeys,
+                        const int64_t* bkt_off, int32_t b,
+                        const uint32_t* offsets,
+                        const uint32_t* vals_pos,
+                        const uint32_t* vals_rid,
+                        int64_t max_occ, int64_t occ0,
+                        int32_t* out_upos, int32_t* out_vpos,
+                        int32_t* out_rid, int64_t cap_seeds,
+                        int64_t* out_resc, int64_t cap_resc,
+                        int64_t* out_nresc) {
+  static thread_local std::vector<uint64_t> hbuf;
+  static thread_local std::vector<int64_t> pbuf;
+  static thread_local std::vector<uint8_t> sbuf;
+  int64_t cap = L > 0 ? L : 16;
+  hbuf.resize((size_t)cap);
+  pbuf.resize((size_t)cap);
+  sbuf.resize((size_t)cap);
+  int64_t nm = sketch_seq(codes, L, k, w, cap, hbuf.data(), pbuf.data(),
+                          sbuf.data());
+  const uint64_t bmask = (1ull << b) - 1;
+  const int32_t OFS_C = 0x40000000;
+  int64_t ns = 0, nr = 0;
+  for (int64_t m = 0; m < nm; m++) {
+    uint64_t h = hbuf[m];
+    int64_t lo = bkt_off[h & bmask], hi = bkt_off[(h & bmask) + 1];
+    while (lo < hi) {             // lower_bound
+      int64_t mid = (lo + hi) >> 1;
+      if (keys[mid] < h) lo = mid + 1; else hi = mid;
+    }
+    if (lo >= nkeys || keys[lo] != h) continue;
+    int64_t start = offsets[lo];
+    int64_t cnt = (int64_t)offsets[lo + 1] - start;
+    if (cnt <= 0 || cnt > max_occ) continue;
+    int64_t fr = sbuf[m];
+    int64_t q64 = (pbuf[m] + (int64_t)k * fr) ^ (-fr);
+    int32_t qs = (int32_t)q64;
+    if (cnt > occ0) {             // defer to the rescue rounds
+      if (nr >= cap_resc) return -2;
+      out_resc[nr * 3 + 0] = (int64_t)qs;
+      out_resc[nr * 3 + 1] = cnt;
+      out_resc[nr * 3 + 2] = start;
+      nr++;
+      continue;
+    }
+    if (ns + cnt > cap_seeds) return -1;
+    int64_t q = (int64_t)qs;      // sign-extended int32
+    for (int64_t t = start; t < start + cnt; t++) {
+      int64_t rev = vals_rid[t] & 1;
+      int64_t x = (int64_t)vals_pos[t] + (int64_t)k * rev;
+      int64_t y = rev ? ~q : q;
+      out_upos[ns] = (int32_t)(2 * x - y + OFS_C);
+      out_vpos[ns] = (int32_t)(2 * y - x + OFS_C);
+      out_rid[ns] = (int32_t)(vals_rid[t] >> 1);
+      ns++;
+    }
+  }
+  *out_nresc = nr;
+  return ns;
 }
 
 // ---------------------------------------------------------------------------
