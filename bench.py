@@ -188,9 +188,12 @@ def main():
         if s is not None:
             out["scaling_1to2_efficiency"] = s["value"]
             out["scaling_note"] = (
-                f"t1={s['t1_s']}s t2={s['t2_s']}s on "
-                f"{s['host_cores']} core(s); "
-                "1-core VM ceiling ~0.5")
+                "mapping-phase busy-time efficiency "
+                f"(map1={s.get('map1_busy_s')}s cpu, per-host "
+                f"{s.get('map2_busy_s')}s cpu); wall ratio "
+                f"{s.get('wall_efficiency')} is confounded on "
+                f"{s['host_cores']} core(s) (two procs share the "
+                "core, wall ceiling ~0.5)")
     else:
         g = k.get("notrace") or 0.0
         out = {
