@@ -735,20 +735,26 @@ class FillEngine:
                 tr = None
             else:
                 ent = rle[:n_ent[s], s]
-                col = np.repeat(ent & 3, ent >> 2)
-                # byte-LUT string builds (a join of 10k 1-2 char
-                # strings per alignment measured 7.5 s/500 reads)
-                widths = np.where(col == 3, 2, 1)
-                starts = np.cumsum(widths) - widths
-                total = int(starts[-1] + widths[-1]) if len(col) else 0
-                bf = np.empty(total, np.uint8)
-                bf[starts] = self._LUT_FWD1[col]
-                bf[starts[col == 3] + 1] = ord("D")
-                path = bytes(bf[::-1]).decode()
-                bf[starts] = self._LUT_REV1[col]
-                bf[starts[col == 3] + 1] = ord("R")
-                path_rev = bytes(bf).decode()
-                ops_rev = bytes(self._LUT_TOK[col]).decode()
+                from . import native as _nat
+                r3 = _nat.rle_paths(ent.astype(np.uint8))
+                if r3 is not None:
+                    path, path_rev, ops_rev = r3
+                else:
+                    col = np.repeat(ent & 3, ent >> 2)
+                    # byte-LUT string builds (a join of 10k 1-2 char
+                    # strings per alignment measured 7.5 s/500 reads)
+                    widths = np.where(col == 3, 2, 1)
+                    starts = np.cumsum(widths) - widths
+                    total = int(starts[-1] + widths[-1]) \
+                        if len(col) else 0
+                    bf = np.empty(total, np.uint8)
+                    bf[starts] = self._LUT_FWD1[col]
+                    bf[starts[col == 3] + 1] = ord("D")
+                    path = bytes(bf[::-1]).decode()
+                    bf[starts] = self._LUT_REV1[col]
+                    bf[starts[col == 3] + 1] = ord("R")
+                    path_rev = bytes(bf).decode()
+                    ops_rev = bytes(self._LUT_TOK[col]).decode()
                 dcnt = int(counts["dcnt"][s])
                 gap_penalty = (int(counts["n_open"][s]) * p.gi
                                + int(counts["n_ext"][s]) * p.ge

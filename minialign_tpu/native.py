@@ -353,6 +353,49 @@ def sketch_seq(codes: np.ndarray, k: int, w: int):
         cap = min(max(L, 1), scr["cap"] * 4)
 
 
+def _bind_rle(lib):
+    if hasattr(lib, "_rle_bound"):
+        return
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.rle_paths.restype = ctypes.c_int64
+    lib.rle_paths.argtypes = [u8p, ctypes.c_int64, u8p, u8p, u8p,
+                              ctypes.c_int64, i64p]
+    lib._rle_bound = True
+
+
+_rle_tls = threading.local()
+
+
+def rle_paths(ent: np.ndarray):
+    """Expand backward RLE entries into (path, path_rev, ops_rev)
+    strings (the device-walk harvest's string forms); None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_rle(lib)
+    ent = np.ascontiguousarray(ent, np.uint8)
+    scr = getattr(_rle_tls, "scr", None)
+    if scr is None:
+        scr = _rle_tls.scr = {"cap": 0}
+    cap = max(2 * 64 * len(ent) + 64, 4096)
+    if scr["cap"] < cap:
+        scr["fwd"] = np.empty(cap, np.uint8)
+        scr["rev"] = np.empty(cap, np.uint8)
+        scr["tok"] = np.empty(cap, np.uint8)
+        scr["cap"] = cap
+    nops = np.zeros(1, np.int64)
+    total = lib.rle_paths(ent, len(ent), scr["fwd"], scr["rev"],
+                          scr["tok"], scr["cap"], nops)
+    if total < 0:
+        return None
+    n = int(nops[0])
+    return (scr["fwd"][:total].tobytes().decode(),
+            scr["rev"][:total].tobytes().decode(),
+            scr["tok"][:n].tobytes().decode())
+
+
 def _bind_collect(lib):
     if hasattr(lib, "_collect_bound"):
         return

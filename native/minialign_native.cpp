@@ -615,6 +615,63 @@ int64_t sketch_seq(const int8_t* codes, int64_t L, int32_t k, int32_t w,
 }
 
 // ---------------------------------------------------------------------------
+// RLE -> path strings (the device walker's harvest): expand backward
+// run entries (op | len << 2; ops 1='D', 2='R', 3=diagonal) into the
+// three string forms the pipeline carries (extend.py TraceResult).
+// ---------------------------------------------------------------------------
+
+// ent: n uint8 backward run entries. Writes fwd (forward-space path:
+// the backward {D,R,"RD"} expansion reversed), rev (backward-space
+// {D,R,"DR"}), tok (one char per op, {D,R,X}). Returns the fwd/rev
+// byte length, or -1 if cap is too small; *out_nops = op count.
+int64_t rle_paths(const uint8_t* ent, int64_t n, char* fwd, char* rev,
+                  char* tok, int64_t cap, int64_t* out_nops) {
+  int64_t total = 0, nops = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t len = (ent[i] & 3) ? (ent[i] >> 2) : 0;  // op 0 = pad
+    int64_t op = ent[i] & 3;
+    nops += len;
+    total += len * (op == 3 ? 2 : 1);
+  }
+  if (total > cap || nops > cap) return -1;
+  char* r = rev;
+  char* t = tok;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t op = ent[i] & 3;
+    int64_t len = op ? (ent[i] >> 2) : 0;
+    if (op == 1) {
+      for (int64_t k = 0; k < len; k++) *r++ = 'D';
+      for (int64_t k = 0; k < len; k++) *t++ = 'D';
+    } else if (op == 2) {
+      for (int64_t k = 0; k < len; k++) *r++ = 'R';
+      for (int64_t k = 0; k < len; k++) *t++ = 'R';
+    } else {
+      for (int64_t k = 0; k < len; k++) { *r++ = 'D'; *r++ = 'R'; }
+      for (int64_t k = 0; k < len; k++) *t++ = 'X';
+    }
+  }
+  // fwd = byte-reverse of the backward {D,R,"RD"} expansion
+  // (extend.py: FWD1 chars at starts, 'D' second, buffer reversed).
+  // reverse(concat(items)) = concat(reverse(item) for items in
+  // reverse order), and reverse("RD") = "DR" — so emit entries in
+  // reverse order with {D, R, "DR"} per op.
+  char* fp = fwd;
+  for (int64_t i = n - 1; i >= 0; i--) {
+    int64_t op = ent[i] & 3;
+    int64_t len = op ? (ent[i] >> 2) : 0;
+    if (op == 1) {
+      for (int64_t k = 0; k < len; k++) *fp++ = 'D';
+    } else if (op == 2) {
+      for (int64_t k = 0; k < len; k++) *fp++ = 'R';
+    } else {
+      for (int64_t k = 0; k < len; k++) { *fp++ = 'D'; *fp++ = 'R'; }
+    }
+  }
+  *out_nops = nops;
+  return total;
+}
+
+// ---------------------------------------------------------------------------
 // round-0 seed collection (mm_collect_seed, minialign.c:3454-3493):
 // sketch + two-stage index lookup + classify + mm_expand
 // (minialign.c:3420-3446) fused into one pass, replacing the Python
