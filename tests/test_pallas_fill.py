@@ -140,3 +140,53 @@ def test_packed_io_matches_unpacked():
                                   np.asarray(r2.max_i))
     np.testing.assert_array_equal(np.asarray(b1.masks),
                                   np.asarray(b2.masks))
+
+
+def test_div10_exhaustive():
+    """The kernel's floor-div-by-10 (f32 multiply by fl(0.1), then
+    truncate — Mosaic has no integer vector divide) must be exact for
+    every value the word hierarchy can produce (offsets < 2**19;
+    pallas_fill asserts PA/PB <= 18). IEEE f32 multiplication is
+    deterministic, so the numpy check covers the TPU semantics."""
+    x = np.arange(0, 1 << 19, dtype=np.int32)
+    q = (x.astype(np.float32) * np.float32(0.1)).astype(np.int32)
+    np.testing.assert_array_equal(q, x // 10)
+
+
+def test_wordstream_boundary_shapes():
+    """Round-4 word-packed sourcing edge cases vs the XLA fill:
+    lengths straddling the two-level threshold, word-boundary lengths
+    (multiples of 10 +/- 1), tiny sources, and problems that run far
+    into the NCODE sentinel region (b much shorter than a)."""
+    p = simple(2, 3, 5, 1)
+    W = 64
+    rng = np.random.default_rng(17)
+    cases = []
+    for L in (9, 10, 11, 79, 80, 81, 255, 640, 1999, 2000):
+        a = rng.integers(0, 4, L)
+        cases.append((a, mutate(rng, a, W)))
+    # deep sentinel run: a long, b short -> fill consumes NCODE rows
+    a = rng.integers(0, 4, 700)
+    cases.append((a, a[:60]))
+    seqs_a = [c[0] for c in cases]
+    seqs_b = [np.asarray(c[1], np.int64) for c in cases]
+    ab, alen = band.pad_codes(seqs_a)
+    bb, blen = band.pad_codes(seqs_b)
+    nb = (2 * 2100) // band.BLK + 2
+    ref_fill = band.make_fill(p, W, max_blocks=nb, trace=True)
+    pal_fill = pallas_fill.make_fill_pallas(p, W, max_blocks=nb,
+                                            trace=True, interpret=True,
+                                            K=1)
+    r1, b1 = ref_fill(ab, alen, bb, blen)
+    r2, b2 = pal_fill(ab, alen, bb, blen)
+    np.testing.assert_array_equal(np.asarray(r1.max_score),
+                                  np.asarray(r2.max_score))
+    np.testing.assert_array_equal(np.asarray(r1.max_i),
+                                  np.asarray(r2.max_i))
+    np.testing.assert_array_equal(np.asarray(r1.max_j),
+                                  np.asarray(r2.max_j))
+    n = int(np.asarray(r1.n_blocks))
+    np.testing.assert_array_equal(np.asarray(b1.dirs)[:, :n],
+                                  np.asarray(b2.dirs)[:, :n])
+    np.testing.assert_array_equal(np.asarray(b1.masks)[:, :n],
+                                  np.asarray(b2.masks)[:, :n])
