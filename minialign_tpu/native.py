@@ -115,7 +115,7 @@ def _load():
                                 ctypes.c_int, i64p, u32p, u32p, u32p]
     lib.idx_sort_count.restype = ctypes.c_int64
     lib.idx_sort_count.argtypes = [u32p, u32p, u32p, i64p,
-                                   ctypes.c_int64]
+                                   ctypes.c_int64, ctypes.c_int32]
     lib.idx_emit.restype = None
     lib.idx_emit.argtypes = [u32p, i64p, ctypes.c_int64, ctypes.c_int,
                              u64p, u32p, i64p]
@@ -221,11 +221,17 @@ def idx_scatter(h, pos, rid, b, cursors, hs, vp, vr) -> bool:
 
 def idx_sort_count(hs, vp, vr, boff) -> int | None:
     """Per-bucket ksort-exact sort on hrem applied in place to the
-    three SoA arrays; returns the distinct-key total."""
+    three SoA arrays; returns the distinct-key total. Buckets are
+    independent, so MINIALIGN_BUILD_THREADS > 1 partitions them across
+    worker threads (byte-identical output; the reference sorts buckets
+    on its pt pool the same way, minialign.c:2868-2898)."""
     lib = _load()
     if lib is None:
         return None
-    return int(lib.idx_sort_count(hs, vp, vr, boff, len(boff) - 1))
+    nthreads = int(os.environ.get(
+        "MINIALIGN_BUILD_THREADS", str(min(os.cpu_count() or 1, 8))))
+    return int(lib.idx_sort_count(hs, vp, vr, boff, len(boff) - 1,
+                                  max(nthreads, 1)))
 
 
 def idx_emit(hs, boff, b, keys, offsets, bkt_off) -> bool:

@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <thread>
 #include <vector>
 #ifdef __SSE4_2__
 #include <nmmintrin.h>
@@ -1082,15 +1083,16 @@ void idx_scatter(const uint64_t* h, const uint32_t* pos,
   }
 }
 
-int64_t idx_sort_count(uint32_t* hs, uint32_t* vp, uint32_t* vr,
-                       const int64_t* boff, int64_t nbkt) {
+static int64_t idx_sort_range(uint32_t* hs, uint32_t* vp, uint32_t* vr,
+                              const int64_t* boff, int64_t d0,
+                              int64_t d1) {
   int64_t maxb = 0;
-  for (int64_t d = 0; d < nbkt; d++)
+  for (int64_t d = d0; d < d1; d++)
     maxb = std::max(maxb, boff[d + 1] - boff[d]);
   std::vector<Rec64> recs((size_t)maxb);
   std::vector<uint32_t> tmp((size_t)maxb);
   int64_t nk = 0;
-  for (int64_t d = 0; d < nbkt; d++) {
+  for (int64_t d = d0; d < d1; d++) {
     int64_t s0 = boff[d], ln = boff[d + 1] - boff[d];
     if (ln <= 0) continue;
     if (ln > 1) {
@@ -1110,6 +1112,33 @@ int64_t idx_sort_count(uint32_t* hs, uint32_t* vp, uint32_t* vr,
     for (int64_t i = 1; i < ln; i++) nk += (hs[s0 + i] != hs[s0 + i - 1]);
   }
   return nk;
+}
+
+// nthreads > 1 partitions the (independent, in-place, disjoint)
+// per-bucket sorts across worker threads — output bytes identical by
+// construction (the reference sorts buckets on its pt pool the same
+// way, mm_idx_count_occ, minialign.c:2868-2898)
+int64_t idx_sort_count(uint32_t* hs, uint32_t* vp, uint32_t* vr,
+                       const int64_t* boff, int64_t nbkt,
+                       int32_t nthreads) {
+  if (nthreads > 1 && nbkt > 1) {
+    int64_t T = std::min<int64_t>(nthreads, nbkt);
+    std::vector<int64_t> nks((size_t)T, 0);
+    std::vector<std::thread> ths;
+    for (int64_t t = 0; t < T; t++) {
+      int64_t d0 = nbkt * t / T, d1 = nbkt * (t + 1) / T;
+      ths.emplace_back([=, &nks]() {
+        nks[(size_t)t] = idx_sort_range(hs, vp, vr, boff, d0, d1);
+      });
+    }
+    int64_t nk = 0;
+    for (int64_t t = 0; t < T; t++) {
+      ths[(size_t)t].join();
+      nk += nks[(size_t)t];
+    }
+    return nk;
+  }
+  return idx_sort_range(hs, vp, vr, boff, 0, nbkt);
 }
 
 void idx_emit(const uint32_t* hs, const int64_t* boff, int64_t nbkt,

@@ -186,3 +186,26 @@ def test_legacy_global_layout_lookup():
         np.testing.assert_array_equal(
             mi.vals_pos[s1[t]:s1[t] + c1[t]],
             legacy.vals_pos[s2[t]:s2[t] + c2[t]])
+
+
+def test_build_thread_count_invariant(monkeypatch):
+    """MINIALIGN_BUILD_THREADS partitions the per-bucket sorts across
+    worker threads; every index array must be byte-identical for any
+    thread count (the buckets are independent and sorted in place)."""
+    import os
+
+    import numpy as np
+
+    from minialign_tpu.index.build import build_index
+    from minialign_tpu.params import IndexParams
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 4, 200_000).astype(np.int8)
+    outs = {}
+    for t in ("1", "3"):
+        monkeypatch.setenv("MINIALIGN_BUILD_THREADS", t)
+        mi = build_index(IndexParams(), ["g"], [g])
+        outs[t] = (mi.keys, mi.offsets, mi.vals_pos, mi.vals_rid,
+                   mi.bkt_off)
+    for a, b in zip(outs["1"], outs["3"]):
+        np.testing.assert_array_equal(a, b)
