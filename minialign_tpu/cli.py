@@ -684,6 +684,35 @@ def _map_block(o: Opts, log, wr, engine, mp, mi, queries: list,
     return n_reads
 
 
+def _align_procs(o: Opts, log, argv: list, nproc: int) -> int:
+    """Run the mapping with N local worker processes (round-robin
+    batch shares) and merge rank-ordered, byte-identical to the
+    single-process stream. See parallel/hostworker.py."""
+    import os
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        outs = [os.path.join(td, f"w{h}.out") for h in range(nproc)]
+        procs = [subprocess.Popen(
+            [_sys.executable, "-m", "minialign_tpu.parallel.hostworker",
+             str(h), str(nproc), outs[h]] + list(argv),
+            stdout=subprocess.DEVNULL) for h in range(nproc)]
+        rcs = [p.wait() for p in procs]
+        if any(rcs):
+            log("E", "main_align",
+                f"worker process failed (rcs={rcs}).")
+            return 1
+        from .parallel import distributed
+        n_remap = distributed.merge_host_outputs(list(argv), outs,
+                                                 sys.stdout)
+        log(2, "main_align",
+            f"{nproc} worker processes merged ({n_remap} batch(es) "
+            "remapped under the true rlen chain).")
+    return 0
+
+
 def main(argv=None) -> int:
     # persistent kernel-compile cache: fill kernels are expensive to
     # compile and the shape-bucket set is stable across runs, so cold
@@ -756,6 +785,22 @@ def main(argv=None) -> int:
     if not queries:
         log(1, "main_align", "query-side input redirected to stdin.")
         queries = ["-"]
+
+    # intra-host process workers (MINIALIGN_PROC_WORKERS=N): the
+    # multi-host round-robin worker + rank-ordered merge machinery run
+    # with N local processes, parallelizing the Python/host stage on
+    # multi-core hosts the way the reference's pt pool parallelizes
+    # mm_align_worker (minialign.c:4535-4732). Byte-identical output
+    # (the speculative stale-rlen chain + replay). Guarded to the
+    # plain mapping path: AVA and stdin input stay single-process.
+    nproc = int(os.environ.get("MINIALIGN_PROC_WORKERS", "1"))
+    if nproc > 1 and not (o.flag & MM_AVA) and "-" not in queries \
+            and o.fnw is None:
+        rc = _align_procs(o, log, argv, nproc)
+        log(1, "main", "Command: " + o.arg_line, ts=False)
+        log(1, "main", f"Real time: {time.time() - t0:.3f} sec; "
+            f"CPU: {time.process_time():.3f} sec", ts=False)
+        return rc
 
     omit = bool(o.flag & MM_OMIT_REP)
     if o.fmt == FMT_SAM:

@@ -1,0 +1,40 @@
+"""Intra-host process workers (MINIALIGN_PROC_WORKERS): the multi-host
+round-robin worker + rank-ordered merge machinery run with N local
+processes must produce byte-identical output to the single-process
+CLI (the reference's analogue is pt-pool worker parallelism,
+minialign.c:4535-4732)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(extra_env, args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(extra_env)
+    r = subprocess.run(
+        [sys.executable, "-m", "minialign_tpu.cli"] + args,
+        capture_output=True, env=env, cwd=ROOT, timeout=900)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    return r.stdout
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fmt", ["-Opaf", "-Osam"])
+def test_proc_workers_byte_identical(fmt):
+    args = ["-t1", fmt, "-165537",
+            os.path.join(DATA, "tref.fa"),
+            os.path.join(DATA, "treads.fq")]
+    one = _run({}, args)
+    two = _run({"MINIALIGN_PROC_WORKERS": "2"}, args)
+    if fmt == "-Osam":
+        strip = lambda b: b"\n".join(  # noqa: E731
+            ln for ln in b.split(b"\n") if not ln.startswith(b"@PG"))
+        one, two = strip(one), strip(two)
+    assert one == two
