@@ -694,6 +694,7 @@ class FillEngine:
         return (sub, W, rle_d, head_d, summary_d)
 
     def _trace_device_harvest(self, out, pend):
+        from . import native as _nat
         from .dp.dtrace import SUMMARY_ROWS
         from .dp.traceback import TraceResult, _identity
 
@@ -735,7 +736,6 @@ class FillEngine:
                 tr = None
             else:
                 ent = rle[:n_ent[s], s]
-                from . import native as _nat
                 r3 = _nat.rle_paths(ent.astype(np.uint8))
                 if r3 is not None:
                     path, path_rev, ops_rev = r3
