@@ -70,6 +70,32 @@ import os as _os
 FDT = jnp.int32 if _os.environ.get(
     "MINIALIGN_FILL_DTYPE") == "int32" else jnp.float32
 
+# Chunk-major grid layout (round 5). With a multi-chunk grid the old
+# lane-sliced BlockSpecs (block (rows, BC) at lane offset chunk*BC of a
+# (rows, B) array) make every per-chunk stage a column slice — which
+# the DMA engine executes as `rows` small strided row copies. That is
+# the exact stall mode round 3 measured for the mask destinations
+# (~1.5k strided copies, ~60 ns/step) and fixed with chunk-major
+# layout; the word sources (~4.3k rows/side at L=20k) and the NB-sized
+# trace outputs never got the same treatment, which is the measured
+# multi-chunk penalty (PERF_NOTES: 48->96->122 ns/chunk-step at 1/2/4
+# chunks, L=20480, flat at L=4096). Chunk-major hosts every grid
+# block contiguously: (nchunk, rows, BC). 0 = round-4 layout (A/B).
+CMAJ = _os.environ.get("MINIALIGN_FILL_CMAJ", "1") != "0"
+
+# Split multi-chunk batches into SEPARATE single-chunk pallas calls
+# inside one jit (one XLA custom call per 128-lane chunk, identical
+# Mosaic binary) instead of a grid=(nchunk,) launch. Probes whether
+# the multi-chunk penalty is the grid machinery itself (revolving
+# VMEM buffer addressing) rather than data layout.
+SPLIT = _os.environ.get("MINIALIGN_FILL_SPLIT", "0") != "0"
+
+# Diagnostic: skip the pallas call and return dummy results built
+# from the prepped inputs (word packs + init band state). Isolates
+# host-graph prep cost from kernel cost in kbench_ab A/Bs. Never set
+# in production (results are wrong by construction).
+PREPONLY = _os.environ.get("MINIALIGN_FILL_PREPONLY", "0") != "0"
+
 
 def _step_t(p: ScoreParams, W: int, B: int, carry, anext, bnext, pp,
             bulk: bool = False, trace: bool = True):
@@ -682,7 +708,9 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         PB = max((LB + SL - 1).bit_length(), 3)
         # _div10 is exhaustively exact below 2**19
         assert PA <= 18 and PB <= 18, "source too long for word path"
-        J = int(_os.environ.get("MINIALIGN_FILL_J", "8"))
+        # clamp: J=0 would divide by zero in _ctl and break the seg%J
+        # refresh; J<0 would break super-window coverage
+        J = max(1, int(_os.environ.get("MINIALIGN_FILL_J", "8")))
         PSEG = max(((SL + 9) // 10).bit_length(), 1)
         SEGW = (1 << PSEG) + 5
         PSUP = max(((J * SL + 9) // 10).bit_length(), PSEG)
@@ -738,20 +766,53 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
                                    PSRCA, PSRCB, tlA=tlA, tlB=tlB,
                                    J=J, PSUP=PSUP, PSEG=PSEG)
 
-        def chunked(shape):
-            blk = shape[:-1] + (BC,)
-            idx = tuple([0] * (len(shape) - 1))
-            return pl.BlockSpec(blk, lambda i, _i=idx: _i + (i,),
-                                memory_space=pltpu.VMEM)
+        if CMAJ:
+            # chunk-major (see module comment): array (nchunk, rows,
+            # BC), grid step i owns the contiguous [i] block. The
+            # leading None squeezes the dim, so the kernel-side ref
+            # shape is (rows, BC) — identical to the lane-sliced
+            # layout; the kernel body is unchanged.
+            def chunked(shape):
+                blk = (None,) + shape[:-1] + (BC,)
+                idx = tuple([0] * len(shape))
+                return pl.BlockSpec(blk, lambda i, _i=idx: (i,) + _i,
+                                    memory_space=pltpu.VMEM)
+
+            def to_cm(x):
+                r = x.reshape(x.shape[:-1] + (nchunk, BC))
+                return jnp.moveaxis(r, -2, 0)
+
+            def from_cm(x):
+                r = jnp.moveaxis(x, 0, -2)
+                return r.reshape(r.shape[:-2] + (B,))
+
+            def oshape(blk, dtype):
+                # blk is the per-chunk block shape (rows..., BC)
+                return jax.ShapeDtypeStruct((nchunk,) + blk, dtype)
+        else:
+            def chunked(shape):
+                blk = shape[:-1] + (BC,)
+                idx = tuple([0] * (len(shape) - 1))
+                return pl.BlockSpec(blk, lambda i, _i=idx: _i + (i,),
+                                    memory_space=pltpu.VMEM)
+
+            def to_cm(x):
+                return x
+
+            def from_cm(x):
+                return x
+
+            def oshape(blk, dtype):
+                return jax.ShapeDtypeStruct(blk[:-1] + (B,), dtype)
 
         anys = pl.BlockSpec(memory_space=pltpu.ANY)
         state_shapes = [
-            jax.ShapeDtypeStruct((W, B), FDT),         # S
-            jax.ShapeDtypeStruct((W, B), FDT),         # Sp
-            jax.ShapeDtypeStruct((W, B), FDT),         # E
-            jax.ShapeDtypeStruct((W, B), FDT),         # F
-            jax.ShapeDtypeStruct((W // 2, B), jnp.int32),  # P (chars)
-            jax.ShapeDtypeStruct((NROWS, B), jnp.int32),  # scalar rows
+            oshape((W, BC), FDT),                      # S
+            oshape((W, BC), FDT),                      # Sp
+            oshape((W, BC), FDT),                      # E
+            oshape((W, BC), FDT),                      # F
+            oshape((W // 2, BC), jnp.int32),           # P (chars)
+            oshape((NROWS, BC), jnp.int32),            # scalar rows
         ]
         state_specs = [chunked((W, B))] * 4 \
             + [chunked((W // 2, B)), chunked((NROWS, B))]
@@ -784,9 +845,9 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             out_shape = state_shapes + [
                 jax.ShapeDtypeStruct((nchunk, NB, BLK, 16, BC),
                                      jnp.int32),
-                jax.ShapeDtypeStruct((NB, B), jnp.int32),   # dirs
-                jax.ShapeDtypeStruct((NB, B), jnp.int32),   # iheads
-                jax.ShapeDtypeStruct((NB, B), jnp.int32),   # rprevs
+                oshape((NB, BC), jnp.int32),                # dirs
+                oshape((NB, BC), jnp.int32),                # iheads
+                oshape((NB, BC), jnp.int32),                # rprevs
             ]
             out_specs = state_specs + [anys] + [chunked((NB, B))] * 3
             scratch = scratch + [
@@ -796,6 +857,21 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
         else:
             out_shape = state_shapes
             out_specs = state_specs
+
+        if PREPONLY:
+            # checksum the prepped operands so nothing is DCE'd
+            chk = (jnp.sum(wa, axis=0) + jnp.sum(wb, axis=0)
+                   + jnp.sum(S.astype(jnp.int32), axis=0)
+                   + sc[R_PLIM])[:B0].astype(jnp.int32)
+            res = FillResult(max_score=chk, max_i=chk, max_j=chk,
+                             n_steps=plim[:B0], n_blocks=jnp.int32(NB))
+            if trace:
+                z = jnp.zeros((B0, NB), jnp.int32)
+                bufs = TraceBuffers(
+                    masks=jnp.zeros((B0, NB, BLK, 16), jnp.uint32),
+                    dirs=z.view(jnp.uint32), iheads=z, rprevs=z)
+                return res, bufs
+            return res
 
         call = pl.pallas_call(
             kernel,
@@ -808,15 +884,16 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )
-        outs = call(wa, wb, S, Sp, E, F, P, sc)
-        sc = outs[5][:, :B0]
+        outs = call(*[to_cm(x) for x in
+                      (wa, wb, S, Sp, E, F, P, sc)])
+        sc = from_cm(outs[5])[:, :B0]
 
         res = FillResult(max_score=sc[R_GMAX], max_i=sc[R_GI],
                          max_j=sc[R_GJ], n_steps=sc[R_NSTEPS],
                          n_blocks=jnp.max(sc[R_NSEG]) * K)
         if trace:
-            masks, dirs, iheads, rprevs = outs[6], outs[7], outs[8], \
-                outs[9]
+            masks = outs[6]
+            dirs, iheads, rprevs = (from_cm(o) for o in outs[7:10])
             mk = jnp.transpose(masks, (0, 4, 1, 2, 3)).reshape(
                 B, NB, BLK, 16)[:B0]
             bufs = TraceBuffers(
@@ -826,4 +903,39 @@ def make_fill_pallas(p: ScoreParams, W: int, max_blocks: int, trace: bool,
             return res, bufs
         return res
 
-    return jax.jit(fill)
+    def fill_outer(a, alen, b, blen):
+        B0 = a.shape[0]
+        if not SPLIT or B0 <= 128:
+            return fill(a, alen, b, blen)
+        BC = 128
+        nchunk = -(-B0 // BC)
+        B = nchunk * BC
+        alen = jnp.asarray(alen)
+        blen = jnp.asarray(blen)
+        if B != B0:
+            a = jnp.pad(a, ((0, B - B0), (0, 0)), constant_values=NCODE)
+            b = jnp.pad(b, ((0, B - B0), (0, 0)), constant_values=NCODE)
+            alen = jnp.pad(alen, (0, B - B0))
+            blen = jnp.pad(blen, (0, B - B0))
+        parts = [fill(a[i * BC:(i + 1) * BC], alen[i * BC:(i + 1) * BC],
+                      b[i * BC:(i + 1) * BC], blen[i * BC:(i + 1) * BC])
+                 for i in range(nchunk)]
+        if trace:
+            ress = [pr[0] for pr in parts]
+            res = FillResult(
+                *[jnp.concatenate([getattr(r, f) for r in ress])[:B0]
+                  for f in ("max_score", "max_i", "max_j", "n_steps")],
+                n_blocks=functools.reduce(
+                    jnp.maximum, [r.n_blocks for r in ress]))
+            bufs = TraceBuffers(*[
+                jnp.concatenate([getattr(pr[1], f) for pr in parts],
+                                axis=0)[:B0]
+                for f in TraceBuffers._fields])
+            return res, bufs
+        return FillResult(
+            *[jnp.concatenate([getattr(r, f) for r in parts])[:B0]
+              for f in ("max_score", "max_i", "max_j", "n_steps")],
+            n_blocks=functools.reduce(
+                jnp.maximum, [r.n_blocks for r in parts]))
+
+    return jax.jit(fill_outer)

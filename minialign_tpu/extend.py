@@ -236,6 +236,36 @@ _FN_CACHE: dict = {}
 _BUF_POOL: dict = {}
 
 
+# byte LUTs for op-code -> path-string builds (op 3 = diagonal is
+# two chars: "RD" backward / "DR" in rev-token order)
+_LUT_FWD1 = np.frombuffer(b"\0DRR", np.uint8)
+_LUT_REV1 = np.frombuffer(b"\0DRD", np.uint8)
+_LUT_TOK = np.frombuffer(b"\0DRX", np.uint8)
+
+
+def rle_paths_py(ent: np.ndarray):
+    """Pure-numpy fallback for native.rle_paths: expand bit-packed
+    (op | len << 2) RLE entries into (path, path_rev, ops_rev)
+    strings. Parity with the native implementation is enforced by
+    tests/test_native.py::test_rle_paths_parity. Byte-LUT builds: a
+    join of 10k 1-2 char strings per alignment measured 7.5 s/500
+    reads."""
+    ent = np.asarray(ent)
+    col = np.repeat(ent & 3, ent >> 2)
+    widths = np.where(col == 3, 2, 1)
+    starts = np.cumsum(widths) - widths
+    total = int(starts[-1] + widths[-1]) if len(col) else 0
+    bf = np.empty(total, np.uint8)
+    bf[starts] = _LUT_FWD1[col]
+    bf[starts[col == 3] + 1] = ord("D")
+    path = bytes(bf[::-1]).decode()
+    bf[starts] = _LUT_REV1[col]
+    bf[starts[col == 3] + 1] = ord("R")
+    path_rev = bytes(bf).decode()
+    ops_rev = bytes(_LUT_TOK[col]).decode()
+    return path, path_rev, ops_rev
+
+
 def _score_key(p: ScoreParams):
     return (tuple(p.matrix), p.gi, p.ge, p.gfa, p.gfb, p.xdrop)
 
@@ -606,11 +636,6 @@ class FillEngine:
             self._fns[key] = f
         return self._fns[key]
 
-    # byte LUTs for op-code -> path-string builds (op 3 = diagonal is
-    # two chars: "RD" backward / "DR" in rev-token order)
-    _LUT_FWD1 = np.frombuffer(b"\0DRR", np.uint8)
-    _LUT_REV1 = np.frombuffer(b"\0DRD", np.uint8)
-    _LUT_TOK = np.frombuffer(b"\0DRX", np.uint8)
 
     def _duo_fn(self, W, la, lb, lau, lbu, B):
         """Fused down-fill -> up-window math -> up-fill -> device
@@ -737,24 +762,9 @@ class FillEngine:
             else:
                 ent = rle[:n_ent[s], s]
                 r3 = _nat.rle_paths(ent.astype(np.uint8))
-                if r3 is not None:
-                    path, path_rev, ops_rev = r3
-                else:
-                    col = np.repeat(ent & 3, ent >> 2)
-                    # byte-LUT string builds (a join of 10k 1-2 char
-                    # strings per alignment measured 7.5 s/500 reads)
-                    widths = np.where(col == 3, 2, 1)
-                    starts = np.cumsum(widths) - widths
-                    total = int(starts[-1] + widths[-1]) \
-                        if len(col) else 0
-                    bf = np.empty(total, np.uint8)
-                    bf[starts] = self._LUT_FWD1[col]
-                    bf[starts[col == 3] + 1] = ord("D")
-                    path = bytes(bf[::-1]).decode()
-                    bf[starts] = self._LUT_REV1[col]
-                    bf[starts[col == 3] + 1] = ord("R")
-                    path_rev = bytes(bf).decode()
-                    ops_rev = bytes(self._LUT_TOK[col]).decode()
+                if r3 is None:
+                    r3 = rle_paths_py(ent)
+                path, path_rev, ops_rev = r3
                 dcnt = int(counts["dcnt"][s])
                 gap_penalty = (int(counts["n_open"][s]) * p.gi
                                + int(counts["n_ext"][s]) * p.ge

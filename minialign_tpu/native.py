@@ -77,11 +77,15 @@ def _load():
     _tried = True
     if os.environ.get("MINIALIGN_NO_NATIVE"):
         return None
-    if not os.path.exists(_SO):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # always invoke make: it is dependency-checked (a no-op when the
+    # .so is fresh) and rebuilds a STALE prebuilt library whose symbol
+    # set predates the current bindings — binding such a library would
+    # raise AttributeError below instead of selecting the fallbacks
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_SO):
             return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -129,10 +133,18 @@ def _load():
     lib.md_walk.restype = ctypes.c_int64
     lib.md_walk.argtypes = [ctypes.c_char_p, ctypes.c_int64, i8p, i8p,
                             ctypes.c_char_p]
-    lib.parse_fastx.restype = ctypes.c_int64
-    lib.parse_fastx.argtypes = [u8p, ctypes.c_int64, ctypes.c_int,
-                                ctypes.c_int64, i64p, ctypes.c_int64,
-                                i8p, ctypes.c_int64]
+    try:
+        lib.parse_fastx.restype = ctypes.c_int64
+        lib.parse_fastx.argtypes = [u8p, ctypes.c_int64, ctypes.c_int,
+                                    ctypes.c_int64, i64p, ctypes.c_int64,
+                                    i8p, ctypes.c_int64]
+        # round-4/5 symbols: bind last so a stale library that somehow
+        # survived the make above degrades to the Python paths instead
+        # of crashing mapping
+        lib.rle_paths
+        lib.collect_seeds_c
+    except AttributeError:
+        return None
     _lib = lib
     return _lib
 

@@ -154,3 +154,55 @@ def test_chain_parity():
                          lens=lens, circular=circ)
         assert [(c.plen, c.root_sid, c.leaf_sid) for c in got] == \
             [(c.plen, c.root_sid, c.leaf_sid) for c in want], trial
+
+
+def test_rle_paths_parity():
+    """native.rle_paths vs the numpy LUT builder (extend.rle_paths_py)
+    on randomized bit-packed (op | len << 2) entries, including the
+    int8-negative wrap for len >= 32 and the empty walk."""
+    from minialign_tpu import extend
+    rng = np.random.default_rng(11)
+    cases = [np.zeros(0, np.uint8)]
+    for _ in range(40):
+        n = int(rng.integers(1, 600))
+        ops = rng.integers(1, 4, n)
+        lens = rng.integers(1, 64, n)
+        cases.append((ops | (lens << 2)).astype(np.uint8))
+    for ent in cases:
+        got = native.rle_paths(ent)
+        assert got is not None
+        want = extend.rle_paths_py(ent)
+        assert got == want
+
+
+def test_collect_seeds_parity():
+    """native.collect_seeds (fused sketch+lookup+expand) vs the numpy
+    round-0 path in chain.collect_seeds, on a randomized reference
+    with planted repeats (to exercise the rescue tier) and reads from
+    both strands."""
+    from minialign_tpu import chain
+    from minialign_tpu.index.build import IndexParams, build_index
+
+    rng = np.random.default_rng(7)
+    rep = rng.integers(0, 4, 400).astype(np.int8)
+    g = np.concatenate([rng.integers(0, 4, 8000).astype(np.int8)]
+                       + [rep] * 12)
+    g2 = rng.integers(0, 4, 3000).astype(np.int8)
+    mi = build_index(IndexParams(k=15, w=10), ["s1", "s2"], [g, g2])
+
+    comp = np.array([3, 2, 1, 0], np.int8)
+    for it in range(12):
+        ln = int(rng.integers(200, 3000))
+        st = int(rng.integers(0, len(g) - ln))
+        q = g[st:st + ln].copy()
+        mut = rng.random(ln) < 0.10
+        q[mut] = rng.integers(0, 4, int(mut.sum()))
+        if it % 2:
+            q = comp[q[::-1]]
+        got = native.collect_seeds(mi, q)
+        assert got is not None, "native path unavailable"
+        want = _fallback(chain, chain.collect_seeds, mi, q)
+        np.testing.assert_array_equal(got[0], want.upos)
+        np.testing.assert_array_equal(got[1], want.vpos)
+        np.testing.assert_array_equal(got[2], want.rid)
+        np.testing.assert_array_equal(got[3], want.resc)

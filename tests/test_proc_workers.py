@@ -33,8 +33,6 @@ def test_proc_workers_byte_identical(fmt):
             os.path.join(DATA, "treads.fq")]
     one = _run({}, args)
     two = _run({"MINIALIGN_PROC_WORKERS": "2"}, args)
-    if fmt == "-Osam":
-        strip = lambda b: b"\n".join(  # noqa: E731
-            ln for ln in b.split(b"\n") if not ln.startswith(b"@PG"))
-        one, two = strip(one), strip(two)
+    # full byte equality INCLUDING the @PG header: the merged stream
+    # reuses the same arg_line, so SAM headers match exactly
     assert one == two

@@ -3,8 +3,10 @@ interleaves timing rounds config-by-config so pool-chip contention
 noise (the tunneled backend swings 2-5x across minutes) hits every
 config equally. Reports min and median of per-round marginal rates.
 
-Usage: python tests/tools/kbench_ab.py '[{"J":"8"},{"J":"32"}]' [trace]
+Usage: python tests/tools/kbench_ab.py '[{"J":"8"},{"J":"32"}]' \
+           [trace|notrace] [B] [L]
 Each dict is env overrides applied before (re)importing pallas_fill.
+B > 128 exercises the multi-chunk grid path (B=512 -> 4 chunks).
 """
 import importlib
 import json
@@ -25,7 +27,8 @@ from minialign_tpu.params import ScoreParams  # noqa: E402
 
 def build(cfg, trace, B, L, max_blocks, p):
     for k, v in cfg.items():
-        os.environ["MINIALIGN_FILL_" + k] = str(v)
+        if not k.startswith("_"):
+            os.environ["MINIALIGN_FILL_" + k] = str(v)
     import minialign_tpu.dp.pallas_fill as pf
     importlib.reload(pf)
     fill = pf.make_fill_pallas(p, 64, max_blocks=max_blocks, trace=trace)
@@ -46,7 +49,8 @@ def main():
     cfgs = json.loads(sys.argv[1]) if len(sys.argv) > 1 else \
         [{"J": "8"}, {"J": "32"}]
     trace = len(sys.argv) > 2 and sys.argv[2] == "trace"
-    B, L = 128, 20480
+    B = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    L = int(sys.argv[4]) if len(sys.argv) > 4 else 20480
     p = ScoreParams(matrix=tuple(2 if (i & 3) == (i >> 2) else -4
                                  for i in range(16)),
                     gi=4, ge=2, gfa=3, gfb=3, xdrop=50)
@@ -66,24 +70,31 @@ def main():
 
     built = []
     for cfg in cfgs:
+        # per-config batch override: {"_B": 128} times the same
+        # workload truncated to the first _B problems (interleaved
+        # single- vs multi-chunk comparison within one process)
+        cb = int(cfg.get("_B", B))
+        cargs = args if cb == B else [
+            x[:cb] if x.ndim else x for x in
+            (jax.device_put(np.asarray(y)[:cb]) for y in args)]
         t0 = time.perf_counter()
-        fill, g1, g5 = build(cfg, trace, B, L, max_blocks, p)
-        np.asarray(g1(*args))
-        np.asarray(g5(*args))
+        fill, g1, g5 = build(cfg, trace, cb, L, max_blocks, p)
+        np.asarray(g1(*cargs))
+        np.asarray(g5(*cargs))
         print(f"built {cfg} in {time.perf_counter()-t0:.0f}s",
               flush=True)
-        r = fill(*args)
+        r = fill(*cargs)
         n_steps = int(np.asarray((r[0] if trace else r).n_steps).sum())
-        built.append((cfg, g1, g5, n_steps))
+        built.append((cfg, g1, g5, n_steps, cargs))
 
     rates = {json.dumps(c[0]): [] for c in built}
     ROUNDS = 6
     for rnd in range(ROUNDS):
-        for cfg, g1, g5, n_steps in built:
+        for cfg, g1, g5, n_steps, cargs in built:
             ts = []
             for g in (g1, g5):
                 t0 = time.perf_counter()
-                rs = [g(*args) for _ in range(4)]
+                rs = [g(*cargs) for _ in range(4)]
                 for r_ in rs:
                     np.asarray(r_)
                 ts.append((time.perf_counter() - t0) / 4)
