@@ -684,6 +684,21 @@ def _map_block(o: Opts, log, wr, engine, mp, mi, queries: list,
     return n_reads
 
 
+def _nproc_for(nth: int) -> int:
+    """Worker-process count for the mapping phase. `-tN` IS the worker
+    count (the reference's contract: -t sizes the pt pool driving
+    mm_align_worker, minialign.c:4729, 6166-6203), clamped to the
+    visible cores — N processes on a smaller host only contend, and
+    each carries a full engine. MINIALIGN_PROC_WORKERS overrides both
+    ways (0/1 forces single-process, >1 forces a width, e.g. to
+    oversubscribe or to exercise the merge on a small host)."""
+    import os
+    env = os.environ.get("MINIALIGN_PROC_WORKERS")
+    if env is not None:
+        return max(1, int(env))
+    return max(1, min(nth, os.cpu_count() or 1))
+
+
 def _align_procs(o: Opts, log, argv: list, nproc: int) -> int:
     """Run the mapping with N local worker processes (round-robin
     batch shares) and merge rank-ordered, byte-identical to the
@@ -786,14 +801,17 @@ def main(argv=None) -> int:
         log(1, "main_align", "query-side input redirected to stdin.")
         queries = ["-"]
 
-    # intra-host process workers (MINIALIGN_PROC_WORKERS=N): the
-    # multi-host round-robin worker + rank-ordered merge machinery run
-    # with N local processes, parallelizing the Python/host stage on
-    # multi-core hosts the way the reference's pt pool parallelizes
-    # mm_align_worker (minialign.c:4535-4732). Byte-identical output
-    # (the speculative stale-rlen chain + replay). Guarded to the
-    # plain mapping path: AVA and stdin input stay single-process.
-    nproc = int(os.environ.get("MINIALIGN_PROC_WORKERS", "1"))
+    # intra-host process workers: `-tN` runs the mapping with N local
+    # worker processes through the multi-host round-robin + rank-
+    # ordered-merge machinery, byte-identical output (see _nproc_for
+    # for the count policy). Structural exclusions stay single-process:
+    # stdin (a pipe can be consumed once, but every worker must
+    # re-read the query input by path — the reference shares one
+    # stream under one reader thread, which a process split cannot
+    # do) and AVA (reference-side files double as queries, so the
+    # per-pair index build would replicate per worker); both still
+    # get the in-process `-t` I/O-overlap pipeline.
+    nproc = _nproc_for(o.nth)
     if nproc > 1 and not (o.flag & MM_AVA) and "-" not in queries \
             and o.fnw is None:
         rc = _align_procs(o, log, argv, nproc)

@@ -337,13 +337,48 @@ class FillEngine:
 
     @staticmethod
     def _pallas_vmem_ok(la, lb) -> bool:
-        """Ultralong-read guard: the pallas kernel keeps the padded
-        char arrays + extraction scratch in VMEM (~100 MB ceiling on
-        v5e); beyond that the XLA fill (HBM-resident) takes over."""
-        pa = 1 << max((la + 512 - 1).bit_length(), 3)
-        pb = 1 << max((lb + 512 - 1).bit_length(), 3)
-        approx = (pa + pb + 2 * max(pa, pb) // 2) * 128
-        return approx < 80 * 1024 * 1024
+        """Ultralong-read guard, mirroring make_fill_pallas's actual
+        per-chunk VMEM allocation under the round-4 word-packed layout
+        (10 chars/int32 — ~10x smaller sources than the int8 formula
+        this replaces, so the Pallas ceiling moves from ~131 kb to the
+        word path's own offset-exactness cap: source lengths up to
+        2**18 chars per side, ~262 kb reads). Two hard limits:
+          * PA/PB <= 18 — segment offsets are floor-divided by 10 as
+            an f32 multiply, exhaustively exact below 2**19
+            (dp/pallas_fill._div10); the kernel asserts the same.
+          * total VMEM rows (sources + cascade scratch + band state +
+            per-block trace outputs + mask staging) within the 100 MB
+            compiler budget, with margin.
+        Beyond either, the XLA fill (HBM-resident) takes over — the
+        reference's unbounded-length path is gaba.c:2057-2103."""
+        import os as _os
+        SL = 4 * band.BLK                      # K=4 in make_fill_pallas
+        PA = max((la + SL - 1).bit_length(), 3)
+        PB = max((lb + SL - 1).bit_length(), 3)
+        if PA > 18 or PB > 18:
+            return False
+        J = max(1, int(_os.environ.get("MINIALIGN_FILL_J", "8")))
+        PSEG = max(((SL + 9) // 10).bit_length(), 1)
+        SEGW = (1 << PSEG) + 5
+        PSUP = max(((J * SL + 9) // 10).bit_length(), PSEG)
+        SUPW = (1 << PSUP) + SEGW
+
+        def psrc(P):
+            return max(((1 << P) // 10 + 1).bit_length(), 1)
+        PSRCA, PSRCB = psrc(PA), psrc(PB)
+        LWAp = (1 << PSRCA) + SUPW             # assume two-level (max)
+        LWBp = (1 << PSRCB) + SUPW
+        scrlen = max(SEGW + (1 << max(PSUP - 1, 0)),
+                     SUPW + (1 << max(PSRCA - 1, 0)),
+                     SUPW + (1 << max(PSRCB - 1, 0)))
+        nb = (la + lb + 2 * band.TAIL_N) // band.BLK + 2
+        rows = (LWAp + LWBp                        # word sources (in)
+                + 2 * scrlen + 40 + 2 * SEGW + 8
+                + 2 * SUPW                         # cascade scratch
+                + 2 * (4 * 64 + 32 + 16)           # band state in+out
+                + 3 * nb                           # dirs/iheads/rprevs
+                + 2 * 4 * band.BLK * 16)           # mask staging
+        return rows * 128 * 4 < 88 * 1024 * 1024
 
     def _dispatch_buf(self, side, shape) -> np.ndarray:
         """NCODE-filled host staging buffer for one dispatch, pooled

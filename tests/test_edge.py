@@ -122,3 +122,20 @@ def test_bseq_fastq_spec(tmp_path):
     assert seqs[2].qual == b"12@3"
     assert seqs[3].qual == b"@123"
     assert seqs[3].tags == ["CO:Z:comment comment"]
+
+
+def test_vmem_guard_word_packed_footprint():
+    """_pallas_vmem_ok mirrors make_fill_pallas's word-packed VMEM
+    allocation (10 chars/int32): the round-4 packing moved the Pallas
+    ceiling from ~131 kb (the stale int8-row formula) to the word
+    path's own offset-exactness cap at 2**18 chars/side. Reads that
+    the old guard needlessly bounced to the slow XLA fill must pass;
+    sources beyond the /10-exactness range must still fall back."""
+    from minialign_tpu.extend import FillEngine
+    ok = FillEngine._pallas_vmem_ok
+    assert ok(20480, 20480)            # production long-read bucket
+    assert ok(131072, 131072)          # old formula rejected this
+    assert ok(250000, 4096)            # ultra-long vs short window
+    assert ok(262016, 262016)          # word-path cap, both sides
+    assert not ok(300000, 4096)        # PA=19: /10 exactness bound
+    assert not ok(300000, 300000)

@@ -36,3 +36,24 @@ def test_proc_workers_byte_identical(fmt):
     # full byte equality INCLUDING the @PG header: the merged stream
     # reuses the same arg_line, so SAM headers match exactly
     assert one == two
+
+
+def test_nth_drives_worker_count(monkeypatch):
+    """`-tN` IS the worker count (reference contract: -t sizes the pt
+    pool, minialign.c:4729), clamped to visible cores; the env var
+    overrides both ways."""
+    import os as _os
+
+    from minialign_tpu.cli import _nproc_for
+
+    monkeypatch.delenv("MINIALIGN_PROC_WORKERS", raising=False)
+    monkeypatch.setattr(_os, "cpu_count", lambda: 8)
+    assert _nproc_for(4) == 4
+    assert _nproc_for(1) == 1
+    assert _nproc_for(64) == 8          # clamped to cores
+    monkeypatch.setattr(_os, "cpu_count", lambda: 1)
+    assert _nproc_for(4) == 1           # this CI host
+    monkeypatch.setenv("MINIALIGN_PROC_WORKERS", "3")
+    assert _nproc_for(1) == 3           # override up
+    monkeypatch.setenv("MINIALIGN_PROC_WORKERS", "1")
+    assert _nproc_for(64) == 1          # override down

@@ -158,6 +158,33 @@ def main():
 
     assert regs_sig("1") == regs_sig("0"), "duo != two-step"
 
+    # ultralong source staging (round-5 guard refresh): a 150 kb
+    # extension pair rides the word-packed Pallas path (the stale
+    # int8-row VMEM formula bounced anything past ~131 kb to the XLA
+    # fill). Lane 0 carries the long pair, the rest terminate early at
+    # their own p-limits; the XLA fill re-runs just the long pair for
+    # the bit-exact comparison. trace=False: the score/max-pos state
+    # crosses every staging seam, which is what the guard gates.
+    from minialign_tpu.extend import FillEngine
+    LU = 150_000
+    assert FillEngine._pallas_vmem_ok(LU, LU)
+    a_u = rng.integers(0, 4, LU)
+    b_u = mutate(rng, a_u, W)
+    ab_u, alen_u = band.pad_codes(
+        [a_u] + [a_u[:256] for _ in range(B - 1)])
+    bb_u, blen_u = band.pad_codes(
+        [b_u] + [mutate(rng, a_u[:256], W) for _ in range(B - 1)])
+    nb_u = (ab_u.shape[1] + bb_u.shape[1]) // band.BLK + 8
+    ru_p = pallas_fill.make_fill_pallas(p, W, max_blocks=nb_u,
+                                        trace=False)(
+        ab_u, alen_u, bb_u, blen_u)
+    ru_x = band.make_fill(p, W, max_blocks=nb_u, trace=False)(
+        ab_u[:2], alen_u[:2], bb_u[:2], blen_u[:2])
+    for name in ("max_score", "max_i", "max_j", "n_steps"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ru_p, name))[:2],
+            np.asarray(getattr(ru_x, name)), err_msg="ultralong " + name)
+
     # round artifact (VERDICT round-2 item 8): record what was
     # compared so the per-round parity claim is checkable without
     # rerunning the tunnel
@@ -171,7 +198,9 @@ def main():
                    "dirs byte-equal", "cell-code masks byte-equal",
                    "device-RLE trace == host walker path, all lanes",
                    "pallas DMA gather == host slicing (64 windows)",
-                   "fused duo dispatch == two-step regs (8 reads)"],
+                   "fused duo dispatch == two-step regs (8 reads)",
+                   "150 kb ultralong fill pallas==xla (word-packed "
+                   "VMEM guard, round 5)"],
         "n_trace_lanes_compared": int(B),
         "status": "ok",
     }
