@@ -156,6 +156,19 @@ def scaling_rate():
     return json.loads(line)
 
 
+def device_axis_rate():
+    """8-device virtual CPU mesh vs 1 device on a fixed workload
+    (bench_scaling.py --device-axis); None on failure. Same 1-core
+    caveat as the host axis (ceiling 1.0, not 8)."""
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "bench_scaling.py"), "--device-axis"],
+        capture_output=True, timeout=1800)
+    line = r.stdout.decode().strip().splitlines()[-1]
+    return json.loads(line)
+
+
 def main():
     from minialign_tpu.native import tune_malloc
     tune_malloc()
@@ -170,6 +183,11 @@ def main():
     except Exception as exc:
         print(f"[bench] scaling failed: {exc}", file=sys.stderr)
         s = None
+    try:
+        d = device_axis_rate()
+    except Exception as exc:
+        print(f"[bench] device-axis failed: {exc}", file=sys.stderr)
+        d = None
 
     if e is not None:
         out = {
@@ -194,6 +212,34 @@ def main():
                 f"{s.get('wall_efficiency')} is confounded on "
                 f"{s['host_cores']} core(s) (two procs share the "
                 "core, wall ceiling ~0.5)")
+        if d is not None:
+            out["device_axis_8dev_ratio"] = d["value"]
+            out["device_axis_note"] = (
+                f"wall 1dev {d.get('wall_1dev_s')}s vs 8-dev mesh "
+                f"{d.get('wall_8dev_s')}s, busy ratio "
+                f"{d.get('busy_ratio_8_over_1')}, byte_identical="
+                f"{d.get('byte_identical')}; 8 virtual devices on "
+                f"{d.get('host_cores')} core(s): ceiling 1.0, the "
+                "row measures mesh-path overhead at equal silicon")
+        # real-size acceptance row (bench_accept.py, BASELINE row 1:
+        # E.coli-scale x100 = 464 Mb reads, byte-compared vs the
+        # reference binary) — embedded when the artifact exists so the
+        # driver's BENCH file carries the headline config
+        try:
+            import glob
+            arts = sorted(glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_ACCEPT_r*.json")))
+            if arts:
+                with open(arts[-1]) as f:
+                    acc = json.load(f)
+                out["accept_config1"] = {
+                    k_: acc.get(k_) for k_ in
+                    ("read_mbases", "parity", "our_wall_s",
+                     "ref_wall_s_this_host", "ref_published_wall_s",
+                     "our_mbases_per_s")}
+        except Exception:
+            pass
     else:
         g = k.get("notrace") or 0.0
         out = {

@@ -52,6 +52,72 @@ def _env():
     return env
 
 
+def device_axis():
+    """Device-axis scaling row (VERDICT r4 item 7): the same mapping
+    workload through the 8-device virtual CPU mesh (ShardedFillEngine
+    + hash-range ShardedIndex, the path MULTICHIP dry-runs validate)
+    vs the single-device engine, as a throughput ratio. HONEST
+    caveat, same as the host axis: the dev VM has ONE core, so all 8
+    virtual devices share it and the wall-clock speedup ceiling is
+    1.0 (not 8) — the row demonstrates the mesh path's overhead vs
+    the single-device engine at equal silicon, not real-chip scaling.
+    busy ratio (CPU seconds, scheduler-independent) shows how much
+    extra work the mesh path spends. Prints one JSON line."""
+    reps = int(os.environ.get("BENCH_DEVAXIS_REPS", "12"))
+    with tempfile.TemporaryDirectory() as td:
+        reads = os.path.join(td, "reads.fq")
+        with open(reads, "w") as f:
+            f.write(open(f"{DATA}/treads.fq").read() * reps)
+        args = ["-t1", "-165537", f"{DATA}/tref.fa", reads]
+
+        def run(n_dev):
+            env = _env()
+            env.pop("MINIALIGN_PROC_WORKERS", None)
+            if n_dev > 1:
+                env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                                    " --xla_force_host_platform_"
+                                    f"device_count={n_dev}").strip()
+                env["MINIALIGN_SHARD"] = "1"
+            else:
+                env["MINIALIGN_SHARD"] = "0"
+            outs = []
+            for _ in range(2):      # 2nd run rides the compile cache
+                t0 = time.time()
+                p = subprocess.Popen(
+                    [sys.executable, "-m", "minialign_tpu.cli"] + args,
+                    env=env, stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL)
+                sam = p.stdout.read()
+                _, rc, ru = os.wait4(p.pid, 0)
+                p.stdout.close()
+                assert os.waitstatus_to_exitcode(rc) == 0
+                outs.append((time.time() - t0,
+                             ru.ru_utime + ru.ru_stime, sam))
+            return outs[-1]
+
+        w1, b1, sam1 = run(1)
+        w8, b8, sam8 = run(8)
+    ok = sam1 == sam8
+    print(json.dumps({
+        "metric": "device_axis_8dev_throughput_ratio",
+        "value": round(w1 / w8, 4) if w8 > 0 else 0.0,
+        "unit": "wall(1 device) / wall(8-device mesh), same workload, "
+                "virtual CPU devices on one shared core",
+        "wall_1dev_s": round(w1, 2),
+        "wall_8dev_s": round(w8, 2),
+        "busy_1dev_s": round(b1, 2),
+        "busy_8dev_s": round(b8, 2),
+        "busy_ratio_8_over_1": round(b8 / b1, 4) if b1 > 0 else 0.0,
+        "byte_identical": bool(ok),
+        "host_cores": os.cpu_count(),
+        "note": "8 virtual devices share 1 physical core: wall "
+                "speedup ceiling is 1.0 by construction; the ratio "
+                "reports mesh-path overhead at equal silicon, the "
+                "busy ratio reports extra CPU work spent by the "
+                "sharded path (cross-shard merge, psum)",
+    }))
+
+
 def main():
     with tempfile.TemporaryDirectory() as td:
         reads = os.path.join(td, "reads.fq")
@@ -147,4 +213,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--device-axis" in sys.argv:
+        device_axis()
+    else:
+        main()
