@@ -45,10 +45,14 @@ REPS = int(os.environ.get("BENCH_SCALING_REPS", "48"))
 
 
 def _env():
-    env = dict(os.environ)
+    # drop the axon tunnel vars entirely: JAX_PLATFORMS=cpu alone
+    # still lets the TPU plugin register, and a mid-flight server-side
+    # libtpu upgrade can then fail the whole child process (observed
+    # round 5); this harness is CPU-only by design
+    env = {k: v for k, v in os.environ.items()
+           if "AXON" not in k and not k.startswith("PALLAS_")}
     env["JAX_PLATFORMS"] = "cpu"
     env["MINIALIGN_DIST_WARM"] = "1"   # steady-state mapping timing
-    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     return env
 
 
