@@ -172,7 +172,12 @@ def device_axis_rate():
 def main():
     from minialign_tpu.native import tune_malloc
     tune_malloc()
-    k = kernel_rates()
+    try:
+        k = kernel_rates()
+    except Exception as exc:   # e.g. mid-flight libtpu upgrade on the
+        # tunnel (observed round 5): never leave the driver metric-less
+        print(f"[bench] kernel rates failed: {exc}", file=sys.stderr)
+        k = {}
     try:
         e = e2e_rate()
     except Exception as exc:   # never leave the driver metric-less
