@@ -50,10 +50,22 @@ _STORE_POOL: dict = {}
 
 
 def pad_store(flat, pool: str | None = None):
-    """Host-side: 1D int8 code stream -> (rows, 128) padded store."""
+    """Host-side: 1D int8 code stream -> (rows, 128) padded store.
+
+    The row count is quantized UP to a coarse grid (1 MB = 8192 rows):
+    every jit consuming the store (the gather fns, duo dispatch)
+    specializes on the store SHAPE, so an exact-length store gives
+    every new read batch a novel shape and forces a full recompile
+    per batch — measured round 5 as THE at-scale E2E cliff (fresh
+    reads mapped at ~10 reads/s while the same batch re-mapped warm
+    at ~92; a 464 Mb run spent ~40 min in per-batch recompiles).
+    Quantized, all production batches collapse onto a handful of
+    shapes. The pad tail is NCODE; gathers never index past the data
+    (make_gather's off+L+1024 bound), so output bytes are unchanged."""
     import numpy as np
     n = len(flat)
     rows = -(-n // 128) + PAD_ROWS
+    rows = -(-rows // 8192) * 8192
     if pool is not None:
         buf = _STORE_POOL.get(pool)
         if buf is None or buf.shape[0] < rows:
