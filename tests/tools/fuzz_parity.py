@@ -17,6 +17,13 @@ import numpy as np
 
 BASES = "ACGT"
 
+# CPU-pin the CLI children by dropping the accelerator-tunnel vars:
+# fuzz cases are semantics checks, and tunnel stalls (server-side
+# libtpu upgrades, observed round 5) otherwise read as timeouts
+ENV = {k: v for k, v in os.environ.items()
+       if "AXON" not in k and not k.startswith("PALLAS_")}
+ENV["JAX_PLATFORMS"] = "cpu"
+
 
 def rnd_seq(rng, n):
     return "".join(BASES[i] for i in rng.integers(0, 4, n))
@@ -147,14 +154,14 @@ def main():
                            capture_output=True, timeout=120)
             subprocess.run([sys.executable, "-m", "minialign_tpu.cli"]
                            + opts + ["-d", f"{d}/o.mai", f"{d}/ref.fa"],
-                           capture_output=True, timeout=1200)
+                           capture_output=True, timeout=1200, env=ENV)
             cmd_ref = [ref_bin] + opts + [f"{d}/r.mai", f"{d}/reads.fq"]
             cmd_our = [sys.executable, "-m", "minialign_tpu.cli"] + \
                 opts + [f"{d}/o.mai", f"{d}/reads.fq"]
         r1 = subprocess.run(cmd_ref, capture_output=True, text=True,
                             timeout=120)
         r2 = subprocess.run(cmd_our, capture_output=True, text=True,
-                            timeout=1200)
+                            timeout=1200, env=ENV)
         if r1.returncode < 0 or r1.returncode == 139:
             # the reference binary itself crashes on some valid
             # parameter sets (e.g. -a1 -b2 -p5 -q1; PARITY.md item 9)
