@@ -35,23 +35,11 @@ N_READS = int(os.environ.get("BENCH_E2E_READS", "500"))
 READ_LEN = int(os.environ.get("BENCH_E2E_READLEN", "20000"))
 
 
-def make_workload():
-    os.makedirs(CACHE, exist_ok=True)
-    tag = f"g{GENOME_MB}_r{N_READS}_l{READ_LEN}"
-    ref_fa = f"{CACHE}/ref_{tag}.fa"
-    reads_fq = f"{CACHE}/reads_{tag}.fq"
-    if os.path.exists(ref_fa) and os.path.exists(reads_fq):
-        return ref_fa, reads_fq
-    rng = np.random.default_rng(42)
-    glen = int(GENOME_MB * 1e6)
-    g = rng.integers(0, 4, glen, dtype=np.int8)
+def write_reads(rng, g, reads_fq):
+    """N_READS PBSIM-profile reads from genome codes g: ~12% error,
+    40% sub / 30% del / 30% ins, both strands."""
     bases = np.frombuffer(b"ACGT", np.uint8)
-    with open(ref_fa, "w") as f:
-        f.write(">chr1\n")
-        s = bases[g].tobytes().decode()
-        for i in range(0, glen, 80):
-            f.write(s[i:i + 80] + "\n")
-
+    glen = len(g)
     qual = "I" * (READ_LEN * 2)
     with open(reads_fq, "w") as f:
         for i in range(N_READS):
@@ -59,7 +47,6 @@ def make_workload():
             ln = max(1000, min(ln, glen - 1))
             st = int(rng.integers(0, glen - ln))
             seq = g[st:st + ln]
-            # ~12% error: 40% sub / 30% del / 30% ins (PBSIM-like)
             r = rng.random(ln)
             out = []
             for j in range(ln):
@@ -77,7 +64,30 @@ def make_workload():
                 arr = (3 - arr)[::-1]
             s = bases[arr].tobytes().decode()
             f.write(f"@read{i}\n{s}\n+\n{qual[:len(s)]}\n")
-    return ref_fa, reads_fq
+
+
+def make_workload():
+    os.makedirs(CACHE, exist_ok=True)
+    tag = f"g{GENOME_MB}_r{N_READS}_l{READ_LEN}"
+    ref_fa = f"{CACHE}/ref_{tag}.fa"
+    reads_fq = f"{CACHE}/reads_{tag}.fq"
+    fresh_fq = f"{CACHE}/reads_{tag}.fresh.fq"
+    if os.path.exists(ref_fa) and os.path.exists(reads_fq) \
+            and os.path.exists(fresh_fq):
+        return ref_fa, reads_fq, fresh_fq
+    rng = np.random.default_rng(42)
+    glen = int(GENOME_MB * 1e6)
+    g = rng.integers(0, 4, glen, dtype=np.int8)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    with open(ref_fa, "w") as f:
+        f.write(">chr1\n")
+        s = bases[g].tobytes().decode()
+        for i in range(0, glen, 80):
+            f.write(s[i:i + 80] + "\n")
+    write_reads(rng, g, reads_fq)
+    # a second, never-remapped read set for the fresh-reads wall
+    write_reads(np.random.default_rng(43), g, fresh_fq)
+    return ref_fa, reads_fq, fresh_fq
 
 
 class _Sink(io.TextIOBase):
@@ -129,7 +139,7 @@ def main():
     from minialign_tpu.native import tune_malloc
     tune_malloc()
     profile = "--profile" in sys.argv
-    ref_fa, reads_fq = make_workload()
+    ref_fa, reads_fq, fresh_fq = make_workload()
     total_bases = sum(
         len(l.rstrip()) for i, l in enumerate(open(reads_fq))
         if i % 4 == 1)
@@ -163,6 +173,18 @@ def main():
         run_cli(ref_fa, reads_fq, threads=1)
         t1_wall = time.time() - t0
 
+    # fresh-reads wall: one warm-process pass over a read set the
+    # process has NEVER seen (different seed, same profile). The
+    # min-over-reps above re-maps identical bytes, which hides
+    # shape-churn costs that production (always-fresh reads) pays —
+    # round 5 found exactly such a cliff (store-shape recompiles,
+    # fixed by pad_store quantization). Keeping both numbers makes
+    # the gap itself a tracked metric (fresh ≈ wall when churn is 0;
+    # residual gap = one-time length-bucket compiles).
+    t0 = time.time()
+    run_cli(ref_fa, fresh_fq)
+    fresh_wall = time.time() - t0
+
     mbps = total_bases / wall / 1e6
     out = {
         "metric": "e2e_mbases_per_s",
@@ -172,6 +194,9 @@ def main():
         "reads_per_s": round(N_READS / wall, 2),
         "wall_s": round(wall, 2),
         "cold_wall_s": round(warm, 2),
+        "fresh_reads_wall_s": round(fresh_wall, 2),
+        "fresh_reads_mbases_per_s": round(
+            total_bases / fresh_wall / 1e6, 4),
         "n_reads": N_READS,
         "total_mbases": round(total_bases / 1e6, 2),
         "sam_bytes": sink.n,
